@@ -1,0 +1,179 @@
+"""Dense motion network: conditional-VAE flow/occlusion prediction.
+
+Reference: src/modules/motion_estimator/{dense_motion.py, motion_autoencoder.py,
+sparse_encoder.py}. Two 3D-conv VAE encoders (bg/fg streams) produce a motion
+latent; the sparse per-object motions are rasterized (ops/raster.py) and
+encoded by a 3D-conv pyramid; a 2D-up-block decoder fuses the latent with
+appearance skip features *resampled by the sparse flow* and emits per-frame
+dense backward flow + occlusion.
+
+Layout: videos [B, T, H, W, C]; time folded into batch for 2D stages via
+nn.layers.fold_time (the reference's unbind/cat dance, with its hardcoded
+chunk(5) in up_block.py:25 generalized to any T).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from c2m_tpu.config import (DenseMotionDecoderParams, DenseMotionEncoderParams,
+                            MotionEstimatorParams, SparseMotionEncoderParams,
+                            TrainParams)
+from c2m_tpu.nn.layers import (Dense, DownBlock3d, SameBlock2d, SameBlock3d,
+                               SameBlockTwoConv2d, UpBlock2d, fold_time,
+                               unfold_time)
+from c2m_tpu.ops.warp import resample, resize_bilinear, resize_flow, resize_video
+
+
+class DenseMotionEncoder(nn.Module):
+    """3D-conv VAE encoder (motion_autoencoder.py:11-59): per-layer t/h/w
+    kernel/stride/pad lists from config, then fc heads for mu / logvar."""
+    params: DenseMotionEncoderParams
+    output_channel: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, video: jnp.ndarray, train: bool = True) -> Dict[str, jnp.ndarray]:
+        p = self.params
+        x = video  # [B, T, H, W, C]
+        for i in range(len(p.t_kernel)):
+            features = min(p.max_expansion, p.block_expansion * (2 ** i))
+            x = DownBlock3d(features,
+                            kernel_size=(p.t_kernel[i], p.h_kernel[i], p.w_kernel[i]),
+                            strides=(p.t_stride[i], p.h_stride[i], p.w_stride[i]),
+                            padding=(p.t_padding[i], p.h_padding[i], p.w_padding[i]),
+                            padding_mode=p.padding_mode, dtype=self.dtype,
+                            name=f"down_{i}")(x, train=train)
+        flat = x.reshape(x.shape[0], -1)
+        mu = Dense(self.output_channel, name="fc_mu")(flat)
+        logvar = Dense(self.output_channel, name="fc_logvar")(flat)
+        return {"mu": mu, "logvar": logvar}
+
+
+class SparseMotionFeatureEncoder(nn.Module):
+    """3D-conv pyramid over the rasterized sparse flow (sparse_encoder.py:6-28)."""
+    params: SparseMotionEncoderParams
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, sparse_motion: jnp.ndarray, train: bool = True
+                 ) -> Dict[str, jnp.ndarray]:
+        p = self.params
+        out = {}
+        x = sparse_motion  # [B, T, H, W, 2]
+        for i in range(p.num_down_blocks):
+            features = min(p.max_expansion, p.block_expansion * (2 ** i))
+            x = DownBlock3d(features, kernel_size=(3, 4, 4), strides=(1, 2, 2),
+                            padding=1, padding_mode=p.padding_mode,
+                            dtype=self.dtype, name=f"down_{i}")(x, train=train)
+            out[f"enco_sparse_{i}"] = x
+        return out
+
+
+class _PredictorHead(nn.Module):
+    """SameBlock2d(32) + reflect-pad conv head (motion_autoencoder.py:152-181)."""
+    out_channels: int
+    sigmoid: bool
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = SameBlock2d(32, kernel_size=3, strides=1, padding=1,
+                        padding_mode="reflect", dtype=self.dtype, name="block")(x)
+        from c2m_tpu.nn.layers import Conv
+        x = Conv(self.out_channels, 3, 1, 1, "reflect", dtype=self.dtype,
+                 name="head")(x)
+        return nn.sigmoid(x) if self.sigmoid else x
+
+
+class DenseMotionDecoder(nn.Module):
+    """Decode z -> per-frame dense flow + occlusion (motion_autoencoder.py:62-149).
+
+    At each scale: upsample (time folded into batch), concatenate appearance
+    skips resampled by the (resized) sparse flow x sparse occlusion, fuse with
+    the sparse-flow pyramid; final heads predict flow and sigmoid occlusion.
+    """
+    params: DenseMotionDecoderParams
+    num_input_frames: int
+    num_predicted_frames: int
+    sparse_down: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, appearance: Dict[str, jnp.ndarray],
+                 sparse_features: Dict[str, jnp.ndarray],
+                 sparse_motion: jnp.ndarray, sparse_occlusion: jnp.ndarray,
+                 z: jnp.ndarray, train: bool = True) -> Dict[str, jnp.ndarray]:
+        p = self.params
+        t = self.num_predicted_frames
+        nb = p.num_up_blocks
+
+        out_features = min(p.max_expansion, p.block_expansion * (2 ** nb))
+        out = SameBlock3d(out_features, 3, 1, 1, padding_mode=p.padding_mode,
+                          dtype=self.dtype, name="first")(z, train=train)
+
+        # Pre-fold the per-frame conditioning streams once.
+        sm_flat, _ = fold_time(sparse_motion)        # [B*T, H, W, 2]
+        so_flat, _ = fold_time(sparse_occlusion)     # [B*T, H, W, 1]
+
+        fuse_idx = 0
+        for i in range(nb):
+            out_features = min(p.max_expansion, p.block_expansion * (2 ** (nb - i - 1)))
+            if i == 0:
+                x, _ = fold_time(out)
+            else:
+                if p.use_appearance_feature:
+                    app = appearance[f"enco{nb - i}"]             # [B, h, w, C]
+                    bsz, ah, aw, ac = app.shape
+                    app_rep = jnp.repeat(app[:, None], t, axis=1) # [B, T, h, w, C]
+                    app_rep, _ = fold_time(app_rep)
+                    if p.use_feature_resample:
+                        obj_motion = resize_flow(sm_flat, (ah, aw))
+                        obj_occ = resize_bilinear(so_flat, (ah, aw),
+                                                  align_corners=False)
+                        app_rep = resample(app_rep, obj_motion) * obj_occ
+                    x, _ = fold_time(out)
+                    if x.shape[1:3] != (ah, aw):
+                        x = resize_bilinear(x, (ah, aw), align_corners=False)
+                    x = jnp.concatenate([x, app_rep], axis=-1)
+            x = UpBlock2d(out_features, kernel_size=3, strides=1, padding=1,
+                          padding_mode=p.padding_mode, dtype=self.dtype,
+                          name=f"up_{i}")(x, train=train)
+            out = unfold_time(x, t)
+            if i >= nb - self.sparse_down:
+                sp = sparse_features[f"enco_sparse_{nb - i - 1}"]  # [B, T, h, w, C]
+                sh, sw = sp.shape[2], sp.shape[3]
+                if out.shape[2:4] != (sh, sw):
+                    flat, _ = fold_time(out)
+                    out = unfold_time(
+                        resize_bilinear(flat, (sh, sw), align_corners=False), t)
+                out = SameBlock3d(sp.shape[-1], 3, 1, 1,
+                                  padding_mode=p.padding_mode, dtype=self.dtype,
+                                  name=f"fuse_{fuse_idx}")(
+                    jnp.concatenate([out, sp], axis=-1), train=train)
+                fuse_idx += 1
+
+        x, _ = fold_time(out)
+        x = UpBlock2d(p.out_channel, kernel_size=3, strides=1, padding=1,
+                      padding_mode=p.padding_mode, dtype=self.dtype,
+                      name="final_up")(x, train=train)
+        out = unfold_time(x, t)
+        out = SameBlock3d(p.out_channel, 3, 1, 1, padding_mode=p.padding_mode,
+                          dtype=self.dtype, name="final_fuse")(
+            jnp.concatenate([out, sparse_motion], axis=-1), train=train)
+        flat, _ = fold_time(out)
+        flow = _PredictorHead(2, sigmoid=False, dtype=self.dtype, name="flow")(flat)
+        occ = _PredictorHead(1, sigmoid=True, dtype=self.dtype, name="occlusion")(flat)
+        return {"dense_motion": unfold_time(flow.astype(jnp.float32), t),
+                "occlusion": unfold_time(occ.astype(jnp.float32), t)}
+
+
+def reparameterize(rng: jax.Array, mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:
+    """VAE reparameterization (dense_motion.py:88-92)."""
+    std = jnp.exp(0.5 * logvar)
+    eps = jax.random.normal(rng, std.shape, std.dtype)
+    return mu + eps * std

@@ -1,0 +1,83 @@
+"""Forward-splat occlusion map (scatter-add of bilinear weights).
+
+Reference: ``get_corresponding_map`` / ``get_occlusion_map``
+(src/utils/ops.py:205-275). Given a flow field, every source pixel is
+displaced by its flow and its unit mass is bilinearly splatted onto the four
+surrounding integer pixels of the *target* grid; the accumulated (clamped)
+mass is a soft visibility map — 0 means occluded/not-written, 1 visible.
+
+The reference corner naming is inverted (x1 = floor, x0 = floor+1); the math
+below follows the same weights: for corner c, weight = (1-|x-cx|)(1-|y-cy|),
+zeroed when the raw corner falls outside the image.
+
+This is the "hard part" scatter-add with duplicate indices (SURVEY.md §7);
+the jnp version lowers to XLA scatter-add. No gradient flows through it in
+the reference (torch.no_grad, ops.py:271-273) — we mirror that with
+stop_gradient so the op is off the autodiff path entirely.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def corresponding_map(coords: jnp.ndarray) -> jnp.ndarray:
+    """Splat unit mass at float target ``coords`` onto the integer grid.
+
+    coords: [B, H, W, 2] un-normalized (x, y) pixel coordinates.
+    Returns [B, H, W, 1] accumulated bilinear mass.
+    """
+    b, h, w, _ = coords.shape
+    x = coords[..., 0].reshape(b, -1)
+    y = coords[..., 1].reshape(b, -1)
+
+    x_f = jnp.floor(x)           # reference "x1"
+    y_f = jnp.floor(y)
+    x_c = x_f + 1.0              # reference "x0"
+    y_c = y_f + 1.0
+
+    def clamp_x(v):
+        return jnp.clip(v, 0.0, w - 1.0)
+
+    def clamp_y(v):
+        return jnp.clip(v, 0.0, h - 1.0)
+
+    corners = []
+    for cx, cy in ((x_c, y_c), (x_c, y_f), (x_f, y_c), (x_f, y_f)):
+        cxc, cyc = clamp_x(cx), clamp_y(cy)
+        invalid = (cx != cxc) | (cy != cyc)
+        wgt = (1.0 - jnp.abs(x - cxc)) * (1.0 - jnp.abs(y - cyc))
+        wgt = jnp.where(invalid, 0.0, wgt)
+        idx = (cxc + cyc * w).astype(jnp.int32)
+        corners.append((idx, wgt))
+
+    indices = jnp.concatenate([c[0] for c in corners], axis=1)  # [B, 4HW]
+    values = jnp.concatenate([c[1] for c in corners], axis=1)
+
+    out = jnp.zeros((b, h * w), dtype=coords.dtype)
+    batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], indices.shape)
+    out = out.at[batch_idx, indices].add(values, mode="drop")
+    return out.reshape(b, h, w, 1)
+
+
+@jax.jit
+def occlusion_map(flow: jnp.ndarray) -> jnp.ndarray:
+    """Soft occlusion map from a flow field (reference ops.py:263-275).
+
+    flow: [B, H, W, 2] pixels -> [B, H, W, 1] in [0, 1]; 0 = occluded.
+    Non-differentiable by design (reference computes it under no_grad).
+    """
+    flow = jax.lax.stop_gradient(flow)
+    b, h, w, _ = flow.shape
+    xs = jnp.arange(w, dtype=flow.dtype)
+    ys = jnp.arange(h, dtype=flow.dtype)
+    base = jnp.stack([jnp.broadcast_to(xs[None, :], (h, w)),
+                      jnp.broadcast_to(ys[:, None], (h, w))], axis=-1)
+    corr = corresponding_map(base[None] + flow)
+    return jnp.clip(corr, 0.0, 1.0)
+
+
+def clip_mask(mask: jnp.ndarray, threshold: float = 0.5) -> jnp.ndarray:
+    """Binarize a soft mask (reference dense_motion.py:155-159)."""
+    return jnp.where(mask > threshold, jnp.ones_like(mask), jnp.zeros_like(mask))
