@@ -35,7 +35,7 @@ def _update_dataclass(obj, data: Dict[str, Any], path: str = ""):
     return obj
 
 
-@dataclass
+@dataclass(eq=False)
 class DatasetParams:
     root: str = ""
     dataset: str = "cityscapes"  # cityscapes | kitti | mvtid | synthetic
@@ -68,7 +68,7 @@ class DatasetParams:
     max_objects: int = 16
 
 
-@dataclass
+@dataclass(eq=False)
 class LossWeights:
     flow_reconstruction: float = 10.0
     flow_smooth: float = 0.0
@@ -93,7 +93,7 @@ class LossWeights:
         return dataclasses.asdict(self)
 
 
-@dataclass
+@dataclass(eq=False)
 class TrainParams:
     num_input_frames: int = 1
     num_predicted_frames: int = 5
@@ -138,7 +138,7 @@ class TrainParams:
         return list(range(self.milestone_start, self.milestone_end, self.milestone_every))
 
 
-@dataclass
+@dataclass(eq=False)
 class CommonParams:
     scale_factor: float = 1.0
     image_channel: int = 3
@@ -149,7 +149,7 @@ class CommonParams:
     occlusion_channel: int = 1
 
 
-@dataclass
+@dataclass(eq=False)
 class SparseMotionEstimatorParams:
     h_dim: int = 512
     z_dim: int = 1024
@@ -158,7 +158,7 @@ class SparseMotionEstimatorParams:
     num_head: int = 4
 
 
-@dataclass
+@dataclass(eq=False)
 class SparseMotionEncoderParams:
     block_expansion: int = 32
     num_down_blocks: int = 4
@@ -167,7 +167,7 @@ class SparseMotionEncoderParams:
     padding_mode: str = "reflect"
 
 
-@dataclass
+@dataclass(eq=False)
 class DenseMotionEncoderParams:
     out_channel_bg: int = 512
     out_channel_fg: int = 512
@@ -186,7 +186,7 @@ class DenseMotionEncoderParams:
     w_padding: List[int] = field(default_factory=lambda: [1, 1, 1, 1, 1, 1, 1])
 
 
-@dataclass
+@dataclass(eq=False)
 class DenseMotionDecoderParams:
     in_channel: int = 528
     out_channel: int = 32
@@ -198,7 +198,7 @@ class DenseMotionDecoderParams:
     use_feature_resample: bool = True
 
 
-@dataclass
+@dataclass(eq=False)
 class MotionEstimatorParams:
     sparse_motion_estimator: SparseMotionEstimatorParams = field(
         default_factory=SparseMotionEstimatorParams)
@@ -210,7 +210,7 @@ class MotionEstimatorParams:
         default_factory=DenseMotionDecoderParams)
 
 
-@dataclass
+@dataclass(eq=False)
 class DiscriminatorParams:
     in_channel: int = 3
     ndf: int = 32
@@ -219,7 +219,7 @@ class DiscriminatorParams:
     padding_mode: str = "reflect"
 
 
-@dataclass
+@dataclass(eq=False)
 class AppearanceEncoderParams:
     block_expansion: int = 32
     num_down_blocks: int = 6
@@ -229,7 +229,7 @@ class AppearanceEncoderParams:
     pool_size: int = 7
 
 
-@dataclass
+@dataclass(eq=False)
 class GeneratorParams:
     block_expansion: int = 32
     num_down_blocks: int = 3
@@ -242,7 +242,7 @@ class GeneratorParams:
     use_spade: bool = False
 
 
-@dataclass
+@dataclass(eq=False)
 class FlowEmbedderParams:
     input_channel: int = 6
     block_expansion: int = 32
@@ -252,7 +252,7 @@ class FlowEmbedderParams:
     use_decoder: bool = True
 
 
-@dataclass
+@dataclass(eq=False)
 class ModelParams:
     common_params: CommonParams = field(default_factory=CommonParams)
     motion_estimator: MotionEstimatorParams = field(default_factory=MotionEstimatorParams)
@@ -262,7 +262,7 @@ class ModelParams:
     flow_embedder: FlowEmbedderParams = field(default_factory=FlowEmbedderParams)
 
 
-@dataclass
+@dataclass(eq=False)
 class TestParams:
     phase: str = "test"
     use_pre_processed_of: bool = True
@@ -282,7 +282,7 @@ class TestParams:
     which_epoch: str = "latest"
 
 
-@dataclass
+@dataclass(eq=False)
 class VisualizerParams:
     display_winsize: int = 512
     tf_log: bool = True
@@ -293,12 +293,12 @@ class VisualizerParams:
     grid_size: List[int] = field(default_factory=lambda: [2, 4])
 
 
-@dataclass
+@dataclass(eq=False)
 class CheckpointParams:
     save_epoch_freq: int = 10
 
 
-@dataclass
+@dataclass(eq=False)
 class ParallelParams:
     """TPU-native addition: device-mesh layout (no reference analogue; the
     reference's only strategy is DDP/NCCL data parallelism, SURVEY.md §2.9)."""
@@ -306,7 +306,7 @@ class ParallelParams:
     model_axis: int = 1   # reserved for intra-op sharding of the widest layers
 
 
-@dataclass
+@dataclass(eq=False)
 class Config:
     name: str = "c2m_journal"
     suffix: str = ""

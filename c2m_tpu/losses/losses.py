@@ -1,0 +1,207 @@
+"""Training objectives (reference: src/losses/losses.py, weights in the YAML
+``train_params.loss_weights``, weighted sum in trainer.py:146-150).
+
+All functions are pure jnp on channels-last tensors; the perceptual loss takes
+the VGG feature dict producer as a callable so the module tree stays outside.
+Reference quirks reproduced: frames feed VGG in [0,1] *without* ImageNet
+normalization (losses.py's ``preprocess`` is dead code); the theta losses are
+the only gradient path into the GNN when ``use_gt_training`` (SURVEY.md §2.4);
+L1-masked means divide by the full element count (F.l1_loss of masked
+tensors), not the mask mass.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from c2m_tpu.nn.layers import fold_time
+from c2m_tpu.ops.warp import resample
+
+
+def l1_masked(source: jnp.ndarray, target: jnp.ndarray,
+              mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """F.l1_loss(source*mask, target*mask) (losses.py:180-189)."""
+    if mask is not None:
+        source = source * mask
+        target = target * mask
+    return jnp.mean(jnp.abs(source - target))
+
+
+def kl_loss(mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:
+    """VAE KL normalized by numel (losses.py:143-149)."""
+    kld = -0.5 * jnp.sum(1.0 + logvar - jnp.square(mu) - jnp.exp(logvar))
+    return kld / mu.size
+
+
+def _avg_pool3(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3 stride-1 VALID average pool on [B, H, W, C] (torch F.avg_pool2d(x,3,1))."""
+    return jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, 3, 3, 1),
+                                 (1, 1, 1, 1), "VALID") / 9.0
+
+
+def ssim_loss(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """(1 - SSIM)/2 clamped to [0,1], mean (losses.py:152-177).
+    x, y: [B, T, H, W, C] videos (time folded internally)."""
+    x, _ = fold_time(x)
+    y, _ = fold_time(y)
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    mu_x, mu_y = _avg_pool3(x), _avg_pool3(y)
+    sigma_x = _avg_pool3(x * x) - mu_x ** 2
+    sigma_y = _avg_pool3(y * y) - mu_y ** 2
+    sigma_xy = _avg_pool3(x * y) - mu_x * mu_y
+    ssim_n = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
+    ssim_d = (mu_x ** 2 + mu_y ** 2 + c1) * (sigma_x + sigma_y + c2)
+    return jnp.mean(jnp.clip((1.0 - ssim_n / ssim_d) / 2.0, 0.0, 1.0))
+
+
+def smooth_loss(flow: jnp.ndarray, image: jnp.ndarray) -> jnp.ndarray:
+    """Edge-aware first-order flow smoothness (losses.py:73-112).
+    flow: [B, T, H, W, 2]; image: [B, T, H, W, C]."""
+    flow, _ = fold_time(flow)
+    img, _ = fold_time(image)
+
+    def grads(v, axis):
+        if axis == "y":
+            return v[:, :-1] - v[:, 1:]
+        return v[:, :, :-1] - v[:, :, 1:]
+
+    total = 0.0
+    wx = jnp.exp(-jnp.mean(jnp.abs(grads(img, "y")), axis=-1, keepdims=True))
+    wy = jnp.exp(-jnp.mean(jnp.abs(grads(img, "x")), axis=-1, keepdims=True))
+    for i in range(2):
+        f = flow[..., i:i + 1]
+        total += (jnp.mean(jnp.abs(grads(f, "y") * wx))
+                  + jnp.mean(jnp.abs(grads(f, "x") * wy)))
+    return total / 2.0
+
+
+def flow_consistency_loss(flow_fw: jnp.ndarray, flow_bw: jnp.ndarray,
+                          mask_fw: Optional[jnp.ndarray],
+                          mask_bw: Optional[jnp.ndarray],
+                          num_predicted_frames: int) -> jnp.ndarray:
+    """fw/bw cross-resampling consistency (losses.py:115-140)."""
+    f, _ = fold_time(flow_fw)
+    b, _ = fold_time(flow_bw)
+    if mask_fw is not None:
+        mf, _ = fold_time(mask_fw)
+        mb, _ = fold_time(mask_bw)
+        nextloss = jnp.mean(mf * jnp.abs(resample(b, f) + f))
+        prevloss = jnp.mean(mb * jnp.abs(resample(f, b) + b))
+    else:
+        nextloss = jnp.mean(jnp.abs(resample(b, f) + f))
+        prevloss = jnp.mean(jnp.abs(resample(f, b) + b))
+    return (prevloss + nextloss) * num_predicted_frames
+
+
+def perceptual_loss(vgg_apply: Callable[[jnp.ndarray], Dict[str, jnp.ndarray]],
+                    gt: jnp.ndarray, fake: jnp.ndarray,
+                    style_weight: float = 0.0) -> Dict[str, jnp.ndarray]:
+    """VGG19 relu{1..5}_1 L1 (+ optional Gram style), per-frame, averaged over
+    T (losses.py:23-70). gt/fake: [B, T, H, W, 3] in [0,1]."""
+    t = gt.shape[1]
+    gt_flat, _ = fold_time(gt)
+    fake_flat, _ = fold_time(fake)
+    x_taps = jax.tree.map(jax.lax.stop_gradient, vgg_apply(gt_flat))
+    y_taps = vgg_apply(fake_flat)
+    out: Dict[str, jnp.ndarray] = {}
+    content = 0.0
+    for tap in ("relu1_1", "relu2_1", "relu3_1", "relu4_1", "relu5_1"):
+        content += jnp.mean(jnp.abs(x_taps[tap] - y_taps[tap]))
+    out["perceptual"] = content  # per-frame loop + /T == one folded pass
+    if style_weight > 0:
+        def gram(f):
+            b, h, w, c = f.shape
+            m = f.reshape(b, h * w, c)
+            return jnp.einsum("bnc,bnd->bcd", m, m) / (h * w * c)
+        style = 0.0
+        for tap in ("relu2_2", "relu3_4", "relu4_4", "relu5_2"):
+            style += jnp.mean(jnp.abs(gram(x_taps[tap]) - gram(y_taps[tap])))
+        out["style"] = style
+    return out
+
+
+def masked_theta_losses(thetas: jnp.ndarray, targets_theta: jnp.ndarray,
+                        node_mask: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Per-timestep L1 of GNN thetas vs GT over *valid* nodes
+    (losses.py:241-253; the reference has no padding so plain l1_loss).
+    thetas/targets: [B, N, T, 6]."""
+    m = node_mask[:, :, None].astype(thetas.dtype)            # [B, N, 1]
+    count = jnp.maximum(jnp.sum(node_mask), 1.0)
+
+    # reference loops t and sums per-t node-mean L1 per theta column
+    def per_t_sum(i):
+        d = jnp.abs(thetas[..., i] - targets_theta[..., i]) * m
+        return jnp.sum(jnp.sum(d, axis=(0, 1)) / count)        # sum over T of means
+
+    return {
+        "translation": per_t_sum(2) + per_t_sum(5),
+        "scale": per_t_sum(0) + per_t_sum(4),
+        "rotation": per_t_sum(1) + per_t_sum(3),
+    }
+
+
+def gan_mse_loss(pred: jnp.ndarray, target_is_real: bool) -> jnp.ndarray:
+    """LSGAN MSE vs a 0/1 label map (discriminator.py:96-135)."""
+    target = 1.0 if target_is_real else 0.0
+    return jnp.mean(jnp.square(pred - target))
+
+
+def feature_matching_loss(real_feats, fake_feats) -> jnp.ndarray:
+    """Sum of L1 over D feature maps, real side detached (model.py:111-122)."""
+    total = 0.0
+    for a, b in zip(real_feats, fake_feats):
+        total += jnp.mean(jnp.abs(jax.lax.stop_gradient(a) - b))
+    return total
+
+
+def training_losses(cfg_train, batch: Dict[str, jnp.ndarray],
+                    out: Dict[str, jnp.ndarray],
+                    vgg_apply: Optional[Callable]) -> Dict[str, jnp.ndarray]:
+    """Generator-side objective (losses.py TrainingLosses.forward:205-255)."""
+    tp = cfg_train
+    w = tp.loss_weights
+    nif = tp.num_input_frames
+    frames = batch["video"]
+    source_frame = frames[:, nif - 1]
+    target_frames = frames[:, nif:]
+    loss: Dict[str, jnp.ndarray] = {}
+
+    loss["flow_reconstruction"] = l1_masked(out["dense_motion_bw"],
+                                            batch["target_bw_of"],
+                                            batch["target_bw_occ"])
+    if tp.use_fw_of and batch.get("target_fw_of") is not None:
+        loss["flow_reconstruction"] += l1_masked(out["dense_motion_fw"],
+                                                 batch["target_fw_of"],
+                                                 batch["target_fw_occ"])
+        loss["flowcon"] = flow_consistency_loss(
+            out["dense_motion_fw"], out["dense_motion_bw"],
+            out["occlusion_fw"], out["occlusion_bw"], tp.num_predicted_frames)
+
+    tpred = tp.num_predicted_frames
+    src_rep = jnp.repeat(source_frame[:, None], tpred, axis=1)
+    src_flat, _ = fold_time(src_rep)
+    flow_flat, _ = fold_time(out["dense_motion_bw"])
+    warped = resample(src_flat, flow_flat).reshape(target_frames.shape)
+    loss["warped"] = l1_masked(warped, target_frames)
+
+    if w.flow_smooth > 0:
+        loss["flow_smooth"] = smooth_loss(out["dense_motion_bw"], target_frames)
+        if tp.use_fw_of and batch.get("target_fw_of") is not None:
+            loss["flow_smooth"] += smooth_loss(out["dense_motion_fw"], src_rep)
+
+    loss["kl"] = kl_loss(out["mu"], out["logvar"])
+    loss["ssim"] = ssim_loss(out["generated"], target_frames)
+    loss["reconstruction"] = l1_masked(out["generated"], target_frames)
+    if w.perceptual > 0 and vgg_apply is not None:
+        loss.update(perceptual_loss(vgg_apply, target_frames, out["generated"],
+                                    style_weight=w.style))
+    loss["occlusion_bw"] = l1_masked(batch["target_bw_occ"], out["occlusion_bw"])
+    if tp.use_fw_of and batch.get("target_fw_occ") is not None:
+        loss["occlusion_fw"] = l1_masked(batch["target_fw_occ"],
+                                         out["occlusion_fw"])
+    loss.update(masked_theta_losses(out["thetas"], batch["targets_theta"],
+                                    batch["node_mask"]))
+    return loss

@@ -55,13 +55,30 @@ def _tuple(v, n):
 
 
 def _pad_spatial(x: jnp.ndarray, pads: Sequence[Tuple[int, int]], mode: str) -> jnp.ndarray:
-    """Pad the spatial dims (all but first/last) of a channels-last tensor."""
+    """Pad the spatial dims (all but first/last) of a channels-last tensor.
+
+    Reflect padding degrades to edge padding per-axis when the axis is too
+    short to reflect (torch ReflectionPad errors there; we support tiny
+    bottleneck maps, e.g. the 64-px-high mini config)."""
     if all(p == (0, 0) for p in pads):
         return x
+    if mode == "zeros":
+        mode = "constant"
+    elif mode == "replicate":
+        mode = "edge"
+    if mode == "reflect":
+        # jnp reflect requires pad < axis_size on each padded axis.
+        for axis, (lo, hi) in enumerate(pads, start=1):
+            if max(lo, hi) > 0 and x.shape[axis] <= max(lo, hi):
+                cfg = [(0, 0)] * x.ndim
+                cfg[axis] = (lo, hi)
+                x = jnp.pad(x, cfg, mode="edge")
+                pads = list(pads)
+                pads[axis - 1] = (0, 0)
     cfg = [(0, 0)] + list(pads) + [(0, 0)]
-    if mode in ("reflect", "replicate"):
-        return jnp.pad(x, cfg, mode="reflect" if mode == "reflect" else "edge")
-    return jnp.pad(x, cfg)
+    if all(p == (0, 0) for p in cfg):
+        return x
+    return jnp.pad(x, cfg, mode=mode)
 
 
 class Conv(nn.Module):
