@@ -27,6 +27,8 @@ ITERS = 20
 
 
 def main():
+    from c2m_tpu.utils.jax_setup import setup_jax
+    setup_jax()
     from __graft_entry__ import _flagship_cfg
     from c2m_tpu.data.synthetic import make_batch
     from c2m_tpu.train.model import C2MTrainModel

@@ -20,6 +20,19 @@ from c2m_tpu.config import Config
 THING_CLASS_MIN = 11  # cityscapes thing classes are trainIds 11..18
 
 
+def _jitted_raster(instance, inst_ids, node_mask, thetas):
+    import functools
+
+    import jax
+    from c2m_tpu.ops.raster import generate_sparse_motion
+
+    global _RASTER_FN
+    if "_RASTER_FN" not in globals():
+        _RASTER_FN = jax.jit(functools.partial(generate_sparse_motion,
+                                               axis_aligned=True))
+    return _RASTER_FN(instance, inst_ids, node_mask, thetas)
+
+
 def make_batch(cfg: Config, batch_size: int = None, seed: int = 0,
                num_objects: int = None) -> Dict[str, np.ndarray]:
     rng = np.random.RandomState(seed)
@@ -95,13 +108,11 @@ def make_batch(cfg: Config, batch_size: int = None, seed: int = 0,
                         1.0, 0.0, src_cx - cx, 0.0, 1.0, src_cy - cy]
             node_mask[bi, ni] = True
 
-    # Consistent target flows: rasterize the GT thetas.
-    import jax.numpy as jnp
-    from c2m_tpu.ops.raster import generate_sparse_motion
-    sparse = generate_sparse_motion(jnp.asarray(instance[:, nif - 1]),
-                                    jnp.asarray(inst_ids),
-                                    jnp.asarray(node_mask),
-                                    jnp.asarray(targets_theta))
+    # Consistent target flows: rasterize the GT thetas (jitted once per shape
+    # — unjitted op-by-op dispatch is pathologically slow over a remote-TPU
+    # tunnel: every primitive compiles and round-trips separately).
+    sparse = _jitted_raster(instance[:, nif - 1], inst_ids, node_mask,
+                            targets_theta)
     target_bw_of = np.asarray(sparse["sparse_motion_bw"])
     target_bw_occ = np.asarray(sparse["sparse_occ_bw"])
     target_fw_of = np.asarray(sparse["sparse_motion_fw"])

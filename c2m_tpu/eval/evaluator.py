@@ -1,0 +1,157 @@
+"""Evaluator: checkpointed-model inference over the val set + metrics.
+
+Reference: src/evaluator/evaluator.py — loads a sub-state-dict (generator path
+only), per-batch ``inference`` with fresh z_m and saved/loaded user-guidance
+indices, dumps gifs/pngs/flow visualizations/HTML, accumulates FID/FVD inputs
+(FVD input doubled by time-flip concat, evaluator.py:275-282), computes the
+YOLO detection-trajectory metric, writes ``results.txt``.
+
+Metric embedders are pluggable (zero-egress environment): FID uses torchvision
+InceptionV3 when its weights are cached locally; FVD needs the TF-Hub I3D and
+reports "unavailable" otherwise; the detection metric accepts any detector
+callable (YOLOv3 port lands with the preprocessing stages).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from c2m_tpu.config import Config
+from c2m_tpu.eval import fid as fid_mod
+from c2m_tpu.utils.flow_color import flow_video_to_color
+from c2m_tpu.utils.html import HTMLGallery
+from c2m_tpu.utils.visualizer import save_gif, video_strip
+
+
+class Evaluator:
+    def __init__(self, cfg: Config, model, variables, job_dir: str,
+                 detector: Optional[Callable] = None):
+        self.cfg = cfg
+        self.model = model
+        self.variables = variables
+        self.job_dir = job_dir
+        self.detector = detector
+        self.out_dir = os.path.join(job_dir, "eval")
+        os.makedirs(self.out_dir, exist_ok=True)
+        self.gallery = HTMLGallery(os.path.join(self.out_dir, "web"),
+                                   title="eval", refresh=0)
+        self._real_frames: List[np.ndarray] = []
+        self._fake_frames: List[np.ndarray] = []
+        self._real_videos: List[np.ndarray] = []
+        self._fake_videos: List[np.ndarray] = []
+        self._traj_sq_err: List[float] = []
+        self._infer = None
+
+    # -- inference ----------------------------------------------------------
+
+    def _jit_infer(self):
+        if self._infer is None:
+            model = self.model
+
+            @jax.jit
+            def infer(variables, batch, z_m, click):
+                return model.apply(variables, batch, z_m, click,
+                                   method="inference",
+                                   rngs={"sample": jax.random.PRNGKey(0)})
+            self._infer = infer
+        return self._infer
+
+    def _guidance_path(self, idx: int) -> str:
+        return os.path.join(self.out_dir, f"index_user_guidance_{idx:05d}.npy")
+
+    def click_mask_for(self, batch, batch_idx: int, rng) -> jnp.ndarray:
+        """Load or sample per-clip click indices (evaluator.py:82-84, 99-113)."""
+        tcfg = self.cfg.test_params
+        n_max = batch["node_mask"].shape[1]
+        path = self._guidance_path(batch_idx)
+        if tcfg.load_index_user_guidance and os.path.exists(path):
+            idx = jnp.asarray(np.load(path))
+        else:
+            from c2m_tpu.models.sparse_motion import sample_click_indices
+            idx, _ = sample_click_indices(rng, jnp.asarray(batch["num_real_nodes"]),
+                                          n_max)
+            if tcfg.save_index_user_guidance:
+                np.save(path, np.asarray(idx))
+        mask = jax.nn.one_hot(idx, n_max, dtype=jnp.float32)
+        return mask * (jnp.asarray(batch["num_real_nodes"]) > 0)[:, None]
+
+    def evaluate_batch(self, batch: Dict[str, np.ndarray], batch_idx: int,
+                       rng) -> Dict[str, np.ndarray]:
+        z_dim = (self.cfg.model_params.motion_estimator.dense_motion_encoder
+                 .out_channel_bg
+                 + self.cfg.model_params.motion_estimator.dense_motion_encoder
+                 .out_channel_fg)
+        device_batch = {k: jnp.asarray(v) for k, v in batch.items()
+                        if k != "names"}
+        b = device_batch["video"].shape[0]
+        rng_z, rng_click = jax.random.split(rng)
+        z_m = jax.random.normal(rng_z, (b, z_dim))
+        click = self.click_mask_for(batch, batch_idx, rng_click)
+        out = self._jit_infer()(self.variables, device_batch, z_m, click)
+        return jax.device_get(out)
+
+    # -- sample dumps (evaluator.py:185-224) ---------------------------------
+
+    def save_samples(self, batch, out, batch_idx: int, max_samples: int = 2):
+        from PIL import Image
+        nif = self.cfg.train_params.num_input_frames
+        for s in range(min(max_samples, out["generated"].shape[0])):
+            tag = f"b{batch_idx:05d}_s{s}"
+            gen = np.concatenate([batch["video"][s, :nif], out["generated"][s]])
+            save_gif(os.path.join(self.out_dir, f"{tag}_gen.gif"), gen)
+            save_gif(os.path.join(self.out_dir, f"{tag}_real.gif"),
+                     batch["video"][s])
+            Image.fromarray(video_strip(out["generated"][s])).save(
+                os.path.join(self.out_dir, f"{tag}_gen.png"))
+            Image.fromarray(video_strip(
+                flow_video_to_color(out["dense_motion_bw"][s]) / 255.0)).save(
+                os.path.join(self.out_dir, f"{tag}_flow.png"))
+            Image.fromarray(video_strip(out["occlusion_bw"][s])).save(
+                os.path.join(self.out_dir, f"{tag}_occ.png"))
+
+    # -- metric accumulation (evaluator.py:268-293) ---------------------------
+
+    def fetch_metrics_data(self, batch, out):
+        nif = self.cfg.train_params.num_input_frames
+        real = batch["video"][:, nif:]
+        fake = out["generated"]
+        self._real_frames.append(real.reshape(-1, *real.shape[2:]))
+        self._fake_frames.append(fake.reshape(-1, *fake.shape[2:]))
+        # FVD inputs doubled by time-flip concat (evaluator.py:275-282)
+        self._real_videos.append(np.concatenate([real, real[:, ::-1]], axis=0))
+        self._fake_videos.append(np.concatenate([fake, fake[:, ::-1]], axis=0))
+        # trajectory MSE of clicked-object barycenters via GT thetas vs
+        # predicted thetas (proxy until the YOLO detector port; the reference
+        # measures detected-box trajectories, utils_yolov3.py:67-169)
+        err = ((out["thetas"] - batch["targets_theta"]) ** 2)[..., [2, 5]]
+        mask = batch["node_mask"][..., None, None]
+        self._traj_sq_err.append(float((err * mask).sum()
+                                       / max(mask.sum() * err.shape[-2] * 2, 1)))
+
+    # -- final metrics (evaluator.py:295-325) ---------------------------------
+
+    def generate_metrics(self) -> Dict[str, float]:
+        results: Dict[str, float] = {}
+        if self._traj_sq_err:
+            results["trajectory_mse_theta"] = float(np.mean(self._traj_sq_err))
+        embed = fid_mod.inception_embedder()
+        if embed is not None and self._real_frames:
+            real = np.concatenate(self._real_frames)
+            fake = np.concatenate(self._fake_frames)
+            results["fid"] = fid_mod.compute_fid(embed(real), embed(fake))
+        else:
+            results["fid"] = float("nan")  # inception weights unavailable
+        results["fvd"] = float("nan")      # TF-Hub I3D unavailable (zero egress)
+        return results
+
+    def write_metrics(self, results: Dict[str, float]) -> str:
+        path = os.path.join(self.out_dir, "results.txt")
+        with open(path, "w") as f:
+            for k, v in results.items():
+                f.write(f"{k}: {v}\n")
+        return path

@@ -240,10 +240,12 @@ class C2MGenerator(nn.Module):
         raster_thetas = (batch["targets_theta"] if tp.use_gt_training
                          else gnn["thetas"])
         instance_src = batch["instance_mask"][:, tp.num_input_frames - 1]
+        # GT thetas are axis-aligned by construction -> MXU matmul raster path
         sparse = generate_sparse_motion(instance_src, batch["inst_ids"],
                                         batch["node_mask"],
                                         raster_thetas.astype(jnp.float32),
-                                        compute_fw=True)
+                                        compute_fw=True,
+                                        axis_aligned=tp.use_gt_training)
         out.update(sparse)
 
         sparse_feats = self.sparse_feature_encoder(
@@ -297,7 +299,8 @@ class C2MGenerator(nn.Module):
         sparse = generate_sparse_motion(instance_src, batch["inst_ids"],
                                         batch["node_mask"],
                                         raster_thetas.astype(jnp.float32),
-                                        compute_fw=True)
+                                        compute_fw=True,
+                                        axis_aligned=use_gt_eval)
         out.update(sparse)
 
         dtype = _dtype_of(cfg)

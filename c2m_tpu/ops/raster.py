@@ -63,11 +63,49 @@ def _pointwise_affine_flow(theta6: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     return jnp.stack([fx, fy], axis=-1)
 
 
+def _interp_matrix(pos: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Bilinear interpolation matrix for source positions ``pos`` [..., M]:
+    out[..., m, i] = zeros-padded bilinear weight of source index i at
+    pos[..., m]. Exactly grid_sample(align_corners=False, zeros) weights:
+    max(0, 1 - |pos - i|), which also reproduces the partial border weights.
+    """
+    idx = jnp.arange(size, dtype=pos.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., None] - idx))
+
+
+def _warp_masks_separable(obj_f: jnp.ndarray, thetas: jnp.ndarray
+                          ) -> jnp.ndarray:
+    """Warp all object masks by *axis-aligned* affines as two dense matmuls —
+    MXU-native, zero gathers (the TPU rewrite of the reference's per-object
+    grid_sample loop). Exact for thetas with zero off-diagonals, which GT
+    thetas always have ([sx, 0, dx, 0, sy, dy], cityscapes.py:159).
+
+    obj_f: [B, N, H, W]; thetas: [B, N, T, 6] -> warped [B, N, T, H, W].
+    """
+    b, n, h, w = obj_f.shape
+    t = thetas.shape[2]
+    dtype = thetas.dtype
+    bx = (2.0 * jnp.arange(w, dtype=dtype) + 1.0) / w - 1.0
+    by = (2.0 * jnp.arange(h, dtype=dtype) + 1.0) / h - 1.0
+    # normalized sample coords, then acf pixel coords
+    gx = thetas[..., 0, None] * bx + thetas[..., 2, None]     # [B, N, T, W]
+    gy = thetas[..., 4, None] * by + thetas[..., 5, None]     # [B, N, T, H]
+    px = ((gx + 1.0) * w - 1.0) * 0.5
+    py = ((gy + 1.0) * h - 1.0) * 0.5
+    kx = _interp_matrix(px, w)                                 # [B, N, T, W, W]
+    ky = _interp_matrix(py, h)                                 # [B, N, T, H, H]
+    tmp = jnp.einsum("bnji,bntxi->bntjx", obj_f, kx,
+                     preferred_element_type=jnp.float32)
+    return jnp.einsum("bntyj,bntjx->bntyx", ky, tmp,
+                      preferred_element_type=jnp.float32)
+
+
 def generate_sparse_motion(instance: jnp.ndarray,
                            inst_ids: jnp.ndarray,
                            node_mask: jnp.ndarray,
                            thetas: jnp.ndarray,
-                           compute_fw: bool = True) -> Dict[str, jnp.ndarray]:
+                           compute_fw: bool = True,
+                           axis_aligned: bool = False) -> Dict[str, jnp.ndarray]:
     """Rasterize per-object affine motions into sparse flow fields.
 
     Args:
@@ -78,6 +116,9 @@ def generate_sparse_motion(instance: jnp.ndarray,
       thetas:    [B, N, T, 6] affine coefficients [sx, b, dx, c, sy, dy]
                  (rows of the 2x3 matrix), GT or GNN-predicted.
       compute_fw: also produce the forward sparse flow.
+      axis_aligned: promise that theta off-diagonals are zero (always true
+                 for GT thetas) -> mask warps run as dense interpolation-
+                 matrix matmuls on the MXU instead of vmapped gathers.
 
     Returns dict with ``sparse_motion_bw``/``sparse_motion_fw`` [B, T, H, W, 2],
     ``sparse_motion_bin`` [B, T, H, W, 1], ``sparse_occ_bw``/``sparse_occ_fw``
@@ -94,12 +135,17 @@ def generate_sparse_motion(instance: jnp.ndarray,
     obj_f = obj.astype(dtype)
 
     # Warp every object mask by its per-timestep affine: [B, N, T, H, W].
-    def warp_one(mask_hw, theta6):
-        grid = affine_grid(_theta_rows(theta6), h, w)
-        return grid_sample_normalized(mask_hw[..., None], grid, padding="zeros")[..., 0]
+    if axis_aligned:
+        warped = _warp_masks_separable(obj_f, thetas)
+    else:
+        def warp_one(mask_hw, theta6):
+            grid = affine_grid(_theta_rows(theta6), h, w)
+            return grid_sample_normalized(mask_hw[..., None], grid,
+                                          padding="zeros")[..., 0]
 
-    warp_nt = jax.vmap(jax.vmap(warp_one, in_axes=(None, 0)), in_axes=(0, 0))  # (N,) x (N,T)
-    warped = jax.vmap(warp_nt)(obj_f, thetas)                          # [B, N, T, H, W]
+        warp_nt = jax.vmap(jax.vmap(warp_one, in_axes=(None, 0)),
+                           in_axes=(0, 0))
+        warped = jax.vmap(warp_nt)(obj_f, thetas)                      # [B, N, T, H, W]
     covered = warped >= (1.0 - _INTERIOR_EPS)
     covered = covered & valid[:, :, None, None, None]
 

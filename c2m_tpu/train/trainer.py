@@ -1,0 +1,146 @@
+"""Trainer: epoch loop, logging cadence, checkpointing, mid-train eval.
+
+Reference: src/trainer/{base.py, trainer.py}. Job dirs, iteration counters with
+resume alignment, periodic print/display/save hooks, epoch checkpoints — same
+observable behavior, functional core: the jitted train step owns all device
+work; the trainer is host-side orchestration only.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from c2m_tpu.config import Config
+from c2m_tpu.data.loader import DataLoader
+from c2m_tpu.parallel.mesh import data_sharding, make_mesh, shard_state
+from c2m_tpu.train.model import C2MTrainModel
+from c2m_tpu.train.state import create_train_state
+from c2m_tpu.train.step import make_train_step
+from c2m_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from c2m_tpu.utils.visualizer import Visualizer
+
+
+def _device_batch(batch: Dict[str, np.ndarray], sharding=None):
+    out = {}
+    for k, v in batch.items():
+        if k == "names":
+            continue
+        arr = jnp.asarray(v)
+        if sharding is not None:
+            arr = jax.device_put(arr, sharding)
+        out[k] = arr
+    return out
+
+
+class Trainer:
+    def __init__(self, cfg: Config, dataset, val_dataset=None,
+                 job_dir: Optional[str] = None, mesh=None):
+        self.cfg = cfg
+        tp = cfg.train_params
+        self.job_dir = job_dir or os.path.join(
+            cfg.workspace, f"{cfg.dataset_params.dataset}_{cfg.name}{cfg.suffix}")
+        os.makedirs(self.job_dir, exist_ok=True)
+        self._snapshot_config()
+
+        self.mesh = mesh
+        self.loader = DataLoader(dataset, batch_size=tp.batch_size, shuffle=True,
+                                 seed=tp.seed, num_workers=tp.workers,
+                                 host_id=jax.process_index(),
+                                 num_hosts=jax.process_count())
+        self.val_dataset = val_dataset
+        steps_per_epoch = max(len(self.loader), 1)
+
+        self.model = C2MTrainModel(cfg, dataset=cfg.dataset_params.dataset)
+        init_batch = _device_batch(next(iter(self.loader)))
+        self.state = create_train_state(cfg, self.model,
+                                        jax.random.PRNGKey(tp.seed), init_batch,
+                                        steps_per_epoch=steps_per_epoch)
+        if mesh is not None:
+            self.state = shard_state(self.state, mesh)
+            self.sharding = data_sharding(mesh)
+        else:
+            self.sharding = None
+        self.train_step = make_train_step(cfg)
+        self.rng = jax.random.PRNGKey(tp.seed + 1)
+
+        self.start_epoch, self.epoch_iter = 1, 0
+        if tp.continue_train:
+            self.state, self.start_epoch, self.epoch_iter = load_checkpoint(
+                self.job_dir, self.state)
+            print(f"resumed from epoch {self.start_epoch}", flush=True)
+
+        vz = cfg.visualizer_params
+        self.visualizer = Visualizer(self.job_dir, use_html=vz.use_html,
+                                     tf_log=vz.tf_log)
+        self.total_iter = (self.start_epoch - 1) * steps_per_epoch + self.epoch_iter
+
+    def _snapshot_config(self) -> None:
+        params_dir = os.path.join(self.job_dir, "params")
+        os.makedirs(params_dir, exist_ok=True)
+        import yaml
+        with open(os.path.join(params_dir, "config.txt"), "w") as f:
+            yaml.safe_dump(self.cfg.to_dict(), f)
+
+    def fit(self, num_epochs: Optional[int] = None,
+            max_steps: Optional[int] = None) -> None:
+        cfg = self.cfg
+        tp = cfg.train_params
+        vz = cfg.visualizer_params
+        epochs = num_epochs or tp.num_epochs
+        is_main = jax.process_index() == 0
+
+        for epoch in range(self.start_epoch, epochs + 1):
+            self.loader.set_epoch(epoch)
+            t_epoch = time.time()
+            t_iter = time.time()
+            steps_this_epoch = 0
+            for batch_np in self.loader:
+                if max_steps is not None and steps_this_epoch >= max_steps:
+                    break
+                steps_this_epoch += 1
+                batch = _device_batch(batch_np, self.sharding)
+                self.state, metrics = self.train_step(self.state, batch, self.rng)
+                self.total_iter += 1
+
+                if is_main and self.total_iter % vz.print_freq == 0:
+                    metrics_host = {k: float(v) for k, v in metrics.items()}
+                    self.visualizer.log_losses(epoch, self.total_iter,
+                                               metrics_host,
+                                               time.time() - t_iter)
+                if is_main and self.total_iter % vz.display_freq == 0:
+                    self._display(batch, epoch)
+                if is_main and self.total_iter % vz.save_latest_freq == 0:
+                    save_checkpoint(self.job_dir, jax.device_get(self.state),
+                                    epoch, self.total_iter)
+                t_iter = time.time()
+
+            if is_main and epoch % cfg.checkpoint_params.save_epoch_freq == 0:
+                save_checkpoint(self.job_dir, jax.device_get(self.state), epoch)
+            print(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s",
+                  flush=True)
+
+    def _display(self, batch, epoch: int) -> None:
+        """Mid-train sample dump (reference _generate_eval, trainer.py:186-209)."""
+        out, _ = self._eval_forward(batch)
+        host_out = jax.device_get(out)
+        host_batch = jax.device_get(batch)
+        self.visualizer.display_results(host_batch, host_out, epoch,
+                                        self.total_iter)
+        self.visualizer.log_trajectories(
+            epoch, self.total_iter, np.asarray(host_out["thetas"]),
+            np.asarray(host_batch["targets_theta"]),
+            np.asarray(host_batch["node_mask"]))
+
+    def _eval_forward(self, batch):
+        (out, loss_dict, *_), _ = self.state.apply_fn(
+            {"params": self.state.params, "batch_stats": self.state.batch_stats,
+             "spectral": self.state.spectral},
+            batch, train=False, rngs={"sample": self.rng},
+            mutable=["batch_stats", "spectral"])
+        return out, loss_dict

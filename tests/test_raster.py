@@ -145,3 +145,32 @@ def test_occlusion_outputs_shapes():
     assert out["sparse_occ_bw"].shape == (b, t, h, w, 1)
     assert out["sparse_occ_fw"].shape == (b, t, h, w, 1)
     assert set(np.unique(np.asarray(out["sparse_occ_bw"]))) <= {0.0, 1.0}
+
+
+def test_separable_matches_gather_path():
+    """The MXU matmul raster path must agree exactly with the gather path on
+    axis-aligned thetas (arbitrary sub-pixel scale + translation)."""
+    rng = np.random.RandomState(3)
+    b, n, t, h, w = 2, 3, 2, 24, 40
+    instance = np.zeros((b, h, w), np.float32)
+    instance[0, 3:11, 5:17] = 26001
+    instance[0, 14:20, 22:34] = 24002
+    instance[1, 6:16, 8:24] = 25003
+    inst_ids = np.array([[26001, 24002, 0], [25003, 0, 0]], np.int32)
+    node_mask = inst_ids != 0
+    thetas = np.tile(np.array([1, 0, 0, 0, 1, 0], np.float32), (b, n, t, 1))
+    thetas[..., 0] = 1.0 + rng.randn(b, n, t) * 0.1     # sx
+    thetas[..., 4] = 1.0 + rng.randn(b, n, t) * 0.1     # sy
+    thetas[..., 2] = rng.randn(b, n, t) * 0.3           # dx (sub-pixel)
+    thetas[..., 5] = rng.randn(b, n, t) * 0.3           # dy
+
+    kwargs = dict(instance=jnp.asarray(instance)[..., None],
+                  inst_ids=jnp.asarray(inst_ids),
+                  node_mask=jnp.asarray(node_mask),
+                  thetas=jnp.asarray(thetas))
+    ref = generate_sparse_motion(**kwargs, axis_aligned=False)
+    fast = generate_sparse_motion(**kwargs, axis_aligned=True)
+    for key in ("sparse_motion_bw", "sparse_motion_fw", "sparse_motion_bin",
+                "sparse_occ_bw", "sparse_occ_fw"):
+        np.testing.assert_allclose(np.asarray(fast[key]), np.asarray(ref[key]),
+                                   atol=1e-4, err_msg=key)
