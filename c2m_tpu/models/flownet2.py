@@ -55,8 +55,9 @@ class DeconvTorch(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # torch ConvTranspose2d(4, 2, padding=1) == lax padding (2, 2)
         y = nn.ConvTranspose(self.features, (4, 4), strides=(2, 2),
-                             padding=((1, 1), (1, 1)),
+                             padding=((2, 2), (2, 2)),
                              transpose_kernel=True,
                              kernel_init=nn.initializers.xavier_uniform())(x)
         return _leaky(y) if self.act else y

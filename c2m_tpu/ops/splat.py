@@ -81,3 +81,16 @@ def occlusion_map(flow: jnp.ndarray) -> jnp.ndarray:
 def clip_mask(mask: jnp.ndarray, threshold: float = 0.5) -> jnp.ndarray:
     """Binarize a soft mask (reference dense_motion.py:155-159)."""
     return jnp.where(mask > threshold, jnp.ones_like(mask), jnp.zeros_like(mask))
+
+
+def get_edges(instance: jnp.ndarray) -> jnp.ndarray:
+    """Instance boundary mask (reference ops.py:278-284; unused in the main
+    path, kept for API parity). instance: [..., H, W, C] -> float edges."""
+    e = jnp.zeros_like(instance, dtype=bool)
+    dx = instance[..., :, 1:, :] != instance[..., :, :-1, :]
+    e = e.at[..., :, 1:, :].set(e[..., :, 1:, :] | dx)
+    e = e.at[..., :, :-1, :].set(e[..., :, :-1, :] | dx)
+    dy = instance[..., 1:, :, :] != instance[..., :-1, :, :]
+    e = e.at[..., 1:, :, :].set(e[..., 1:, :, :] | dy)
+    e = e.at[..., :-1, :, :].set(e[..., :-1, :, :] | dy)
+    return e.astype(jnp.float32)

@@ -29,9 +29,8 @@ def main():
     import jax
     import jax.numpy as jnp
     from c2m_tpu.config import Config
-    from c2m_tpu.data.cityscapes import ClipDataset
+    from c2m_tpu.data.dataset import get_test_set
     from c2m_tpu.data.loader import DataLoader
-    from c2m_tpu.data.synthetic import make_batch
     from c2m_tpu.eval.evaluator import Evaluator
     from c2m_tpu.train.model import C2MTrainModel
     from c2m_tpu.train.state import create_train_state
@@ -40,22 +39,7 @@ def main():
     cfg = Config.from_yaml(args.config)
     job_dir = args.job_dir or os.path.join(
         cfg.workspace, f"{cfg.dataset_params.dataset}_{cfg.name}{cfg.suffix}")
-
-    if cfg.dataset_params.dataset == "synthetic":
-        class _SynthDataset:
-            def __init__(self, cfg, n=8):
-                self.cfg, self.n = cfg, n
-
-            def __len__(self):
-                return self.n
-
-            def __getitem__(self, i):
-                b = make_batch(self.cfg, batch_size=1, seed=10_000 + i)
-                return {k: v[0] for k, v in b.items()}
-
-        dataset = _SynthDataset(cfg)
-    else:
-        dataset = ClipDataset(cfg, split="val")
+    dataset = get_test_set(cfg)
 
     loader = DataLoader(dataset, batch_size=cfg.test_params.batch_size,
                         shuffle=False, num_workers=cfg.test_params.workers,

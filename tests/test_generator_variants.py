@@ -1,0 +1,46 @@
+"""Generator variant coverage: SPADE path and the KITTI warped-image branch
+(reference generator.py:37-48, 126-152)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from c2m_tpu.config import Config
+from c2m_tpu.models.generator import OcclusionAwareGenerator
+
+
+def _run(use_spade: bool, dataset: str):
+    cfg = Config()
+    gp = cfg.model_params.generator
+    gp.use_spade = use_spade
+    gen = OcclusionAwareGenerator(gp, cfg.model_params.flow_embedder,
+                                  dataset=dataset)
+    b, h, w = 2, 32, 64
+    frame = jnp.asarray(np.random.RandomState(0).rand(b, h, w, 3), jnp.float32)
+    flow = jnp.zeros((b, h, w, 2))
+    occ = jnp.ones((b, h, w, 1))
+    variables = gen.init(jax.random.PRNGKey(0), frame, flow, occ, train=False)
+    out, _ = gen.apply(variables, frame, flow, occ, train=True,
+                       mutable=["batch_stats"])
+    assert out.shape == (b, h, w, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    assert 0.0 <= float(out.min()) and float(out.max()) <= 1.0
+    return variables
+
+
+def test_generator_plain():
+    v = _run(use_spade=False, dataset="cityscapes")
+    assert "flowembedder" not in v["params"]
+
+
+def test_generator_spade():
+    v = _run(use_spade=True, dataset="cityscapes")
+    assert "flowembedder" in v["params"]
+    assert any("up_" in k for k in v["params"])
+
+
+def test_generator_kitti_branch():
+    v = _run(use_spade=False, dataset="kitti")
+    assert "first_warped" in v["params"]
+    assert "pre_decode" in v["params"]

@@ -54,3 +54,25 @@ def test_conv3d_shapes_vae_config():
                     mutable=["batch_stats"])[0]
     assert out["mu"].shape == (1, 512)
     assert out["logvar"].shape == (1, 512)
+
+
+def test_deconv_torch_matches_convtranspose2d():
+    """DeconvTorch (flownet2 deconv) must equal torch ConvTranspose2d(4,2,1),
+    pinning the weight mapping for the flownet2 checkpoint converter."""
+    from c2m_tpu.models.flownet2 import DeconvTorch
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 5, 7, 3).astype(np.float32)
+    layer = DeconvTorch(4, act=False)
+    params = layer.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = np.asarray(layer.apply(params, jnp.asarray(x)))
+
+    kernel = np.asarray(params["params"]["ConvTranspose_0"]["kernel"])
+    bias = np.asarray(params["params"]["ConvTranspose_0"]["bias"])
+    # expected torch layout [in, out, kh, kw]
+    wt = np.transpose(kernel, (3, 2, 0, 1))
+    ref = F.conv_transpose2d(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))),
+                             torch.from_numpy(wt), torch.from_numpy(bias),
+                             stride=2, padding=1)
+    ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
+    assert out.shape == ref.shape == (2, 10, 14, 4)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)

@@ -44,26 +44,11 @@ def main():
     cfg = Config.from_yaml(args.config)
     if args.seed is not None:
         cfg.train_params.seed = args.seed
-    from c2m_tpu.data.cityscapes import ClipDataset
-    from c2m_tpu.data.synthetic import make_batch
+    from c2m_tpu.data.dataset import get_training_set
     from c2m_tpu.parallel.mesh import make_mesh
     from c2m_tpu.train.trainer import Trainer
 
-    if cfg.dataset_params.dataset == "synthetic":
-        class _SynthDataset:
-            def __init__(self, cfg, n=64):
-                self.cfg, self.n = cfg, n
-
-            def __len__(self):
-                return self.n
-
-            def __getitem__(self, i):
-                b = make_batch(self.cfg, batch_size=1, seed=i)
-                return {k: v[0] for k, v in b.items()}
-
-        dataset = _SynthDataset(cfg)
-    else:
-        dataset = ClipDataset(cfg, split="train")
+    dataset = get_training_set(cfg)
 
     mesh = make_mesh() if len(jax.devices()) > 1 else None
     trainer = Trainer(cfg, dataset, job_dir=args.job_dir, mesh=mesh)
