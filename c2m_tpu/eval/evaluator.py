@@ -136,18 +136,73 @@ class Evaluator:
     # -- final metrics (evaluator.py:295-325) ---------------------------------
 
     def generate_metrics(self) -> Dict[str, float]:
+        import os as _os
         results: Dict[str, float] = {}
         if self._traj_sq_err:
             results["trajectory_mse_theta"] = float(np.mean(self._traj_sq_err))
-        embed = fid_mod.inception_embedder()
+        embed = self._fid_embedder()
         if embed is not None and self._real_frames:
             real = np.concatenate(self._real_frames)
             fake = np.concatenate(self._fake_frames)
             results["fid"] = fid_mod.compute_fid(embed(real), embed(fake))
         else:
             results["fid"] = float("nan")  # inception weights unavailable
-        results["fvd"] = float("nan")      # TF-Hub I3D unavailable (zero egress)
+        results["fvd"] = self._compute_fvd()
         return results
+
+    def _fid_embedder(self):
+        """Flax InceptionV3 when converted weights exist (INCEPTION_WEIGHTS),
+        else the torchvision fallback, else None."""
+        import os as _os
+        path = _os.environ.get("INCEPTION_WEIGHTS", "")
+        if path and os.path.exists(path):
+            from c2m_tpu.eval.inception import (InceptionV3Pool3,
+                                                load_inception_params)
+            model = InceptionV3Pool3()
+            variables = load_inception_params(path)
+            apply_fn = jax.jit(lambda x: model.apply(variables, x))
+
+            def embed(images: np.ndarray) -> np.ndarray:
+                from c2m_tpu.ops.warp import resize_bilinear
+                outs = []
+                for i in range(0, len(images), 16):
+                    x = jnp.asarray(images[i:i + 16]) * 2.0 - 1.0
+                    x = resize_bilinear(x, (299, 299), align_corners=False)
+                    outs.append(np.asarray(apply_fn(x)))
+                return np.concatenate(outs)
+
+            return embed
+        return fid_mod.inception_embedder()
+
+    def _compute_fvd(self) -> float:
+        """FVD via the Flax I3D when converted weights exist (I3D_WEIGHTS)."""
+        import os as _os
+        path = _os.environ.get("I3D_WEIGHTS", "")
+        if not (path and os.path.exists(path) and self._real_videos):
+            return float("nan")
+        from c2m_tpu.eval.i3d import InceptionI3d, compute_fvd
+        data = np.load(path, allow_pickle=True)
+        variables = {"params": data["params"].item(),
+                     "batch_stats": data["batch_stats"].item()}
+        model = InceptionI3d()
+        apply_fn = jax.jit(lambda x: model.apply(variables, x,
+                                                 endpoint="embedding"))
+
+        def embed(videos):
+            from c2m_tpu.ops.warp import resize_bilinear
+            outs = []
+            for i in range(0, len(videos), 16):
+                v = jnp.asarray(videos[i:i + 16]) * 2.0 - 1.0
+                b, t, h, w, c = v.shape
+                v = resize_bilinear(v.reshape(b * t, h, w, c), (224, 224),
+                                    align_corners=False).reshape(b, t, 224,
+                                                                 224, c)
+                outs.append(np.asarray(apply_fn(v)))
+            return np.concatenate(outs)
+
+        real = np.concatenate(self._real_videos)
+        fake = np.concatenate(self._fake_videos)
+        return compute_fvd(embed(real), embed(fake))
 
     def write_metrics(self, results: Dict[str, float]) -> str:
         path = os.path.join(self.out_dir, "results.txt")

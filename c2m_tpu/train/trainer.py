@@ -69,6 +69,15 @@ class Trainer:
         self.train_step = make_train_step(cfg)
         self.rng = jax.random.PRNGKey(tp.seed + 1)
 
+        # on-the-fly FlowNet2 supervision when flows aren't precomputed
+        # (reference trainer.py:42-98)
+        self.flow_onthefly = None
+        if not tp.use_pre_processed_of:
+            from c2m_tpu.train.flow_onthefly import OnTheFlyFlow
+            self.flow_onthefly = OnTheFlyFlow(
+                tp.num_input_frames, tp.num_predicted_frames,
+                weights_path=os.environ.get("FLOWNET2_WEIGHTS"))
+
         self.start_epoch, self.epoch_iter = 1, 0
         if tp.continue_train:
             self.state, self.start_epoch, self.epoch_iter = load_checkpoint(
@@ -105,6 +114,8 @@ class Trainer:
                     break
                 steps_this_epoch += 1
                 batch = _device_batch(batch_np, self.sharding)
+                if self.flow_onthefly is not None:
+                    batch.update(self.flow_onthefly(batch["video"]))
                 self.state, metrics = self.train_step(self.state, batch, self.rng)
                 self.total_iter += 1
 
