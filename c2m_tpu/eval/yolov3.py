@@ -169,32 +169,103 @@ def non_max_suppression(pred: np.ndarray, conf_thresh: float = 0.5,
     return np.asarray(out) if out else None
 
 
-def load_darknet_weights(variables: Dict, path: str) -> Dict:
-    """Load original darknet yolov3.weights into our param tree.
+def _conv_block_order() -> List[Tuple[Tuple[str, ...], bool]]:
+    """Conv blocks in darknet cfg order as (flax scope path, has_bn).
 
-    The binary is a 5-int32 header then, per conv block in cfg order:
-    [bn_bias, bn_scale, bn_mean, bn_var] (or conv bias if no BN) followed by
-    conv kernels in OIHW. Our module definition order matches the cfg order,
-    and flax traverses setup order, so a sequential fill lines up.
+    Our module creation order mirrors the cfg: Darknet-53 trunk, then per
+    scale [5-conv block, 3x3 head conv, 1x1 detection conv], with the 1x1
+    route conv before each upsample. flax auto-numbers inline submodules in
+    call order, so the scopes are reconstructible deterministically.
     """
-    import flax
+    order: List[Tuple[Tuple[str, ...], bool]] = []
+    bb = ("backbone",)
+    conv_i = 0
+    res_i = 0
+
+    def bb_conv():
+        nonlocal conv_i
+        order.append(((*bb, f"ConvBL_{conv_i}"), True))
+        conv_i += 1
+
+    def bb_res(n):
+        nonlocal res_i
+        for _ in range(n):
+            order.append(((*bb, f"Residual_{res_i}", "ConvBL_0"), True))
+            order.append(((*bb, f"Residual_{res_i}", "ConvBL_1"), True))
+            res_i += 1
+
+    bb_conv()           # 32
+    bb_conv()           # 64 /2
+    bb_res(1)
+    bb_conv()           # 128 /2
+    bb_res(2)
+    bb_conv()           # 256 /2
+    bb_res(8)
+    bb_conv()           # 512 /2
+    bb_res(8)
+    bb_conv()           # 1024 /2
+    bb_res(4)
+
+    k = 0               # ConvBL index in the YoloV3 scope
+    d = 0               # raw detection Conv index
+    for scale in range(3):
+        for _ in range(5):                       # block5
+            order.append(((f"ConvBL_{k}",), True))
+            k += 1
+        order.append(((f"ConvBL_{k}",), True))   # 3x3 head conv
+        k += 1
+        order.append(((f"Conv_{d}",), False))    # 1x1 detection conv
+        d += 1
+        if scale < 2:
+            order.append(((f"ConvBL_{k}",), True))  # route conv pre-upsample
+            k += 1
+    return order
+
+
+def load_darknet_weights(variables: Dict, path: str) -> Dict:
+    """Load original darknet ``yolov3.weights`` into our variables.
+
+    Binary layout (reference models.py load_darknet_weights): 5-int32 header,
+    then per conv block in cfg order: [bn_bias, bn_scale, bn_mean, bn_var]
+    (or conv bias when the block has no BN) followed by conv kernels in OIHW.
+    """
     with open(path, "rb") as f:
         np.fromfile(f, np.int32, 5)
         blob = np.fromfile(f, np.float32)
+    params = jax.tree.map(np.array, variables["params"])
+    stats = jax.tree.map(np.array, variables["batch_stats"])
+    ptr = 0
 
-    flat_params = flax.traverse_util.flatten_dict(variables["params"])
-    flat_stats = flax.traverse_util.flatten_dict(
-        variables.get("batch_stats", {}))
+    def take(n):
+        nonlocal ptr
+        out = blob[ptr:ptr + n]
+        if len(out) != n:
+            raise ValueError(f"weights file exhausted at {ptr} (+{n})")
+        ptr += n
+        return out
 
-    # Order params by module path creation order: flax names Conv_0, BatchNorm_0
-    # inside each ConvBL in definition order; sort by the full path's numeric
-    # components to recover cfg order.
-    def sort_key(path):
-        return tuple((p, int(s.split("_")[-1]) if "_" in s and
-                      s.split("_")[-1].isdigit() else -1)
-                     for p, s in ((x, x) for x in path))
+    def node(tree, scope):
+        for s in scope:
+            tree = tree[s]
+        return tree
 
-    raise NotImplementedError(
-        "darknet weight mapping requires the flattened-order audit; "
-        "tracked for the next round — structure and NMS are exercised "
-        "with random weights meanwhile")
+    for scope, has_bn in _conv_block_order():
+        conv = node(params, scope)["Conv_0"] if has_bn else node(
+            params, scope[:-1])[scope[-1]]
+        kernel = conv["kernel"]                  # [kh, kw, I, O]
+        kh, kw, ci, co = kernel.shape
+        if has_bn:
+            bn = node(params, scope)["BatchNorm_0"]
+            st = node(stats, scope)["BatchNorm_0"]
+            bn["bias"] = take(co)
+            bn["scale"] = take(co)
+            st["mean"] = take(co)
+            st["var"] = take(co)
+        else:
+            conv["bias"] = take(co)
+        w = take(co * ci * kh * kw).reshape(co, ci, kh, kw)
+        conv["kernel"] = np.transpose(w, (2, 3, 1, 0))
+    if ptr != len(blob):
+        raise ValueError(f"{len(blob) - ptr} unconsumed weights — "
+                         "architecture/cfg mismatch")
+    return {"params": params, "batch_stats": stats}

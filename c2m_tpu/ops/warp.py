@@ -215,6 +215,34 @@ def _bilinear_axis_weights(out_size: int, in_size: int, align_corners: bool,
     return lo, hi, whi
 
 
+def _upsample2x_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Exact 2x bilinear upsample (align_corners=False) along one axis with
+    pure shifts/lerps — no gathers. out[2i] = 0.25*x[i-1] + 0.75*x[i] (edge
+    clamped), out[2i+1] = 0.75*x[i] + 0.25*x[i+1]."""
+    axis = axis % x.ndim
+    n = x.shape[axis]
+
+    def shift(v, delta):
+        # edge-clamped neighbor along `axis`
+        pad = [(0, 0)] * v.ndim
+        if delta == -1:
+            pad[axis] = (1, 0)
+            sl = [slice(None)] * v.ndim
+            sl[axis] = slice(0, n)
+        else:
+            pad[axis] = (0, 1)
+            sl = [slice(None)] * v.ndim
+            sl[axis] = slice(1, n + 1)
+        return jnp.pad(v, pad, mode="edge")[tuple(sl)]
+
+    even = 0.25 * shift(x, -1) + 0.75 * x
+    odd = 0.75 * x + 0.25 * shift(x, +1)
+    stacked = jnp.stack([even, odd], axis=axis + 1)
+    new_shape = list(x.shape)
+    new_shape[axis] = 2 * n
+    return stacked.reshape(new_shape)
+
+
 def resize_bilinear(x: jnp.ndarray, size: Sequence[int],
                     align_corners: bool = False) -> jnp.ndarray:
     """torch ``F.interpolate(mode='bilinear')`` on [..., H, W, C]."""
@@ -222,6 +250,9 @@ def resize_bilinear(x: jnp.ndarray, size: Sequence[int],
     nh, nw = size
     if (nh, nw) == (h, w):
         return x
+    if not align_corners and (nh, nw) == (2 * h, 2 * w):
+        # hot path: every UpBlock is an exact 2x upsample
+        return _upsample2x_axis(_upsample2x_axis(x, -3), -2)
     ylo, yhi, wy = _bilinear_axis_weights(nh, h, align_corners, x.dtype)
     xlo, xhi, wx = _bilinear_axis_weights(nw, w, align_corners, x.dtype)
     # rows
