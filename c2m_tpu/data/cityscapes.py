@@ -133,6 +133,7 @@ def load_scene_nodes(tracking_prefix: str, num_frames: int, size,
     thetas = np.tile(np.array([1, 0, 0, 0, 1, 0], np.float32), (n_max, tpred, 1))
     rois = np.zeros((n_max, 4), np.float32)
     rois_src = np.zeros((n_max, 4), np.float32)
+    rois_target_last = np.zeros((n_max, 4), np.float32)
     inst_ids = np.zeros((n_max,), np.int32)
     track_ids = np.zeros((num_frames, n_max), np.int32)
     target_bary = np.zeros((n_max, tpred, 2), np.float32)
@@ -193,6 +194,7 @@ def load_scene_nodes(tracking_prefix: str, num_frames: int, size,
                 thetas[ni, idx - num_input_frames] = [
                     scale[1], 0.0, disp[1], 0.0, scale[0], disp[0]]
                 target_bary[ni, idx - num_input_frames] = [cy, cx]
+                rois_target_last[ni] = [x_l, y_t, x_r, y_b]
             track_ids[idx, ni] = iid
         if ok:
             node_mask[ni] = True
@@ -206,6 +208,7 @@ def load_scene_nodes(tracking_prefix: str, num_frames: int, size,
         "targets_theta": thetas,
         "rois_padded": rois,
         "rois_source": rois_src,
+        "rois_target_last": rois_target_last,
         "inst_ids": inst_ids,
         "node_mask": node_mask,
         "num_real_nodes": np.int32(n_real),

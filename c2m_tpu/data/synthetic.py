@@ -54,6 +54,7 @@ def make_batch(cfg: Config, batch_size: int = None, seed: int = 0,
     node_mask = np.zeros((b, n_max), bool)
     inst_ids = np.zeros((b, n_max), np.int32)
     rois = np.zeros((b, n_max, 4), np.float32)
+    rois_target_last = np.zeros((b, n_max, 4), np.float32)
     num_real = np.zeros((b,), np.int32)
 
     # static background: horizontal stripes of bg classes (road/sky/etc)
@@ -106,6 +107,7 @@ def make_batch(cfg: Config, batch_size: int = None, seed: int = 0,
                     cx = (xx0 + bw / 2) / w * 2 - 1
                     targets_theta[bi, ni, ti - nif] = [
                         1.0, 0.0, src_cx - cx, 0.0, 1.0, src_cy - cy]
+                    rois_target_last[bi, ni] = [xx0, yy0, xx0 + bw, yy0 + bh]
             node_mask[bi, ni] = True
 
     # Consistent target flows: rasterize the GT thetas (jitted once per shape
@@ -131,6 +133,7 @@ def make_batch(cfg: Config, batch_size: int = None, seed: int = 0,
         "num_real_nodes": num_real,
         "inst_ids": inst_ids,
         "rois_padded": rois,
+        "rois_target_last": rois_target_last,
     }
     if tp.use_fw_of:
         batch["target_fw_of"] = target_fw_of

@@ -45,7 +45,13 @@ class Evaluator:
         self._real_videos: List[np.ndarray] = []
         self._fake_videos: List[np.ndarray] = []
         self._traj_sq_err: List[float] = []
+        self._det: Dict[str, list] = {"mse": [], "mse_normalized": [],
+                                      "gt_detected": [], "pred_detected": []}
         self._infer = None
+        if self.detector is None:
+            import os as _os
+            from c2m_tpu.eval.detection_metric import make_yolo_detector
+            self.detector = make_yolo_detector(_os.environ.get("YOLO_WEIGHTS"))
 
     # -- inference ----------------------------------------------------------
 
@@ -126,12 +132,21 @@ class Evaluator:
         self._real_videos.append(np.concatenate([real, real[:, ::-1]], axis=0))
         self._fake_videos.append(np.concatenate([fake, fake[:, ::-1]], axis=0))
         # trajectory MSE of clicked-object barycenters via GT thetas vs
-        # predicted thetas (proxy until the YOLO detector port; the reference
-        # measures detected-box trajectories, utils_yolov3.py:67-169)
+        # predicted thetas (always available; the reference's detector-based
+        # variant below additionally needs YOLO weights)
         err = ((out["thetas"] - batch["targets_theta"]) ** 2)[..., [2, 5]]
         mask = batch["node_mask"][..., None, None]
         self._traj_sq_err.append(float((err * mask).sum()
                                        / max(mask.sum() * err.shape[-2] * 2, 1)))
+        if self.detector is not None:
+            from c2m_tpu.eval.detection_metric import compute_detection
+            click_idx = np.argmax(np.asarray(out["click_mask"]), axis=1)
+            res = compute_detection(
+                self.detector, np.asarray(real[:, -1]),
+                np.asarray(fake[:, -1]), batch, click_idx,
+                np.asarray(batch["rois_target_last"]))
+            for k in self._det:
+                self._det[k].extend(res[k])
 
     # -- final metrics (evaluator.py:295-325) ---------------------------------
 
@@ -148,6 +163,14 @@ class Evaluator:
         else:
             results["fid"] = float("nan")  # inception weights unavailable
         results["fvd"] = self._compute_fvd()
+        if self._det["mse"]:
+            # detection trajectory metrics (evaluator.py:295-321)
+            results["detection_mse"] = float(np.mean(self._det["mse"]))
+            results["detection_mse_normalized"] = float(
+                np.mean(self._det["mse_normalized"]))
+            gt_n = len(self._det["gt_detected"])
+            pred_n = len(self._det["pred_detected"])
+            results["detection_accuracy"] = pred_n / max(gt_n, 1)
         return results
 
     def _fid_embedder(self):

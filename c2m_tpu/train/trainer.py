@@ -137,8 +137,14 @@ class Trainer:
                   flush=True)
 
     def _display(self, batch, epoch: int) -> None:
-        """Mid-train sample dump (reference _generate_eval, trainer.py:186-209)."""
+        """Mid-train sample dump (reference _generate_eval, trainer.py:186-209;
+        the cross-host gather replaces the reference's dist_all_gather_tensor
+        rank-0 visualization, trainer.py:211-243)."""
         out, _ = self._eval_forward(batch)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            out = multihost_utils.process_allgather(out)
+            batch = multihost_utils.process_allgather(batch)
         host_out = jax.device_get(out)
         host_batch = jax.device_get(batch)
         self.visualizer.display_results(host_batch, host_out, epoch,

@@ -43,25 +43,42 @@ def visual_streams(batch: Dict[str, np.ndarray], out: Dict[str, np.ndarray],
     """The reference's 17 visual streams (trainer/base.py:147-189), as
     [T, H, W, 3] uint8-able arrays for one batch element."""
     nif = batch["video"].shape[1] - out["generated"].shape[1]
+
+    def flow(v):
+        return flow_video_to_color(np.asarray(v)) / 255.0
+
     streams = {
-        "real_video": batch["video"][sample],
-        "generated": out["generated"][sample],
-        "generated_sparse": out["generated_sparse"][sample],
-        "generated_sparse_occ": out["generated_sparse_occ"][sample],
-        "occlusion_bw": out["occlusion_bw"][sample],
-        "sparse_bin": out["sparse_motion_bin"][sample],
-        "sparse_occ_bw": out["sparse_occ_bw"][sample],
+        "source_frames": batch["video"][sample, :nif],
+        "target_frames": batch["video"][sample, nif:],
+        "predicted_frames": out["generated"][sample],
+        "predicted_frames_sparse": out["generated_sparse"][sample],
+        "predicted_frames_sparse_occ": out["generated_sparse_occ"][sample],
+        "pred_dense_motion_bw": flow(out["dense_motion_bw"][sample]),
+        "pred_occlusion_bw": out["occlusion_bw"][sample],
+        "pred_sparse_motion_bw": flow(out["sparse_motion_bw"][sample]),
+        "pred_sparse_occ_bw": out["sparse_occ_bw"][sample],
+        "pred_sparse_motion_bin": out["sparse_motion_bin"][sample],
         "tracking_mask": batch.get("tracking_mask",
                                    np.zeros_like(batch["video"][..., :1]))[sample],
-        "dense_flow_bw": flow_video_to_color(
-            np.asarray(out["dense_motion_bw"][sample])) / 255.0,
-        "sparse_flow_bw": flow_video_to_color(
-            np.asarray(out["sparse_motion_bw"][sample])) / 255.0,
     }
     if "target_bw_of" in batch:
-        streams["gt_flow_bw"] = flow_video_to_color(
-            np.asarray(batch["target_bw_of"][sample])) / 255.0
-        streams["gt_occ_bw"] = batch["target_bw_occ"][sample]
+        streams["gt_target_bw_of"] = flow(batch["target_bw_of"][sample])
+        streams["gt_target_bw_occ"] = batch["target_bw_occ"][sample]
+    # fw streams when use_fw_of (the reference's full 17-stream set,
+    # base.py:147-189)
+    for key, src in (("pred_dense_motion_fw", out), ("pred_occlusion_fw", out),
+                     ("pred_sparse_motion_fw", out), ("pred_sparse_occ_fw", out),
+                     ("gt_target_fw_of", batch), ("gt_target_fw_occ", batch)):
+        ref_key = key.replace("pred_", "").replace("gt_target", "target")
+        ref_key = {"dense_motion_fw": "dense_motion_fw",
+                   "occlusion_fw": "occlusion_fw",
+                   "sparse_motion_fw": "sparse_motion_fw",
+                   "sparse_occ_fw": "sparse_occ_fw",
+                   "target_fw_of": "target_fw_of",
+                   "target_fw_occ": "target_fw_occ"}[ref_key]
+        if ref_key in src and src[ref_key] is not None:
+            v = src[ref_key][sample]
+            streams[key] = flow(v) if v.shape[-1] == 2 else v
     return streams
 
 
