@@ -14,7 +14,7 @@ eval/yolov3.py provides it when weights exist.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, Optional
 
 import numpy as np
 

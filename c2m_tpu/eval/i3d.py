@@ -13,7 +13,7 @@ the Frechet math in eval/fid.py applies unchanged to these embeddings.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

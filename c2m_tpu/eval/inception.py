@@ -11,8 +11,6 @@ checkpoint must already be on disk somewhere to convert). Input: [N, 299,
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 from flax import linen as nn
 

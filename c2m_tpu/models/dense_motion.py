@@ -21,12 +21,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from c2m_tpu.config import (DenseMotionDecoderParams, DenseMotionEncoderParams,
-                            MotionEstimatorParams, SparseMotionEncoderParams,
-                            TrainParams)
+                            SparseMotionEncoderParams)
 from c2m_tpu.nn.layers import (Dense, DownBlock3d, SameBlock2d, SameBlock3d,
-                               SameBlockTwoConv2d, UpBlock2d, fold_time,
-                               unfold_time)
-from c2m_tpu.ops.warp import resample, resize_bilinear, resize_flow, resize_video
+                               UpBlock2d, fold_time, unfold_time)
+from c2m_tpu.ops.warp import resample, resize_bilinear, resize_flow
 
 
 class DenseMotionEncoder(nn.Module):

@@ -16,7 +16,7 @@ configuration). Weights: converted from a torch checkpoint when available
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

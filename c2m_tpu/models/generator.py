@@ -14,7 +14,7 @@ batch per step, ideal for the MXU.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -21,7 +21,7 @@ the output), and ``C2MMessagePassing``/``theta2affine`` are unused.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

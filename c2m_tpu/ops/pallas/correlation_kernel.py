@@ -31,7 +31,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _corr_kernel(md: int, stride: int, a_ref, bpad_ref, out_ref):

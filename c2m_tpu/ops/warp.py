@@ -19,7 +19,6 @@ pixel-space sampling math it induces.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence, Tuple
 
 import jax

@@ -12,7 +12,6 @@ One jitted call computes all 2*(T-1) flows by batching the frame pairs.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional
 
 import jax

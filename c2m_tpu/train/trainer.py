@@ -18,7 +18,7 @@ import numpy as np
 
 from c2m_tpu.config import Config
 from c2m_tpu.data.loader import DataLoader
-from c2m_tpu.parallel.mesh import data_sharding, make_mesh, shard_state
+from c2m_tpu.parallel.mesh import data_sharding, shard_state
 from c2m_tpu.train.model import C2MTrainModel
 from c2m_tpu.train.state import create_train_state
 from c2m_tpu.train.step import make_train_step

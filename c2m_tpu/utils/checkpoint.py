@@ -12,8 +12,6 @@ from __future__ import annotations
 import os
 from typing import Optional, Tuple
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 from flax import core
 
