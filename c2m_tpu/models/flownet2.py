@@ -4,7 +4,8 @@ on-the-fly flow for training.
 Reference: src/modules/third_party/flow_net/ (NVIDIA flownet2-pytorch
 derivative; stack wiring in flownet2/models.py:20-172, submodules in
 networks/*.py). The three CUDA extensions map to:
-  resample2d   -> c2m_tpu.ops.warp.resample (same bilinear border warp)
+  resample2d   -> c2m_tpu.ops.warp.resample_pixel (pixel-space bilinear
+                  border warp, resample2d_kernel.cu:16-77 semantics)
   correlation  -> c2m_tpu.ops.correlation.correlation
   channelnorm  -> c2m_tpu.ops.correlation.channel_norm
 
@@ -24,7 +25,7 @@ from flax import linen as nn
 
 from c2m_tpu.ops.correlation import channel_norm, correlation
 from c2m_tpu.ops.splat import occlusion_map
-from c2m_tpu.ops.warp import resample, resize_bilinear, resize_nearest
+from c2m_tpu.ops.warp import resample_pixel, resize_bilinear, resize_nearest
 
 
 def _leaky(x):
@@ -49,16 +50,21 @@ class ConvL(nn.Module):
 
 
 class DeconvTorch(nn.Module):
-    """torch ConvTranspose2d(k=4, s=2, p=1) exact equivalent + LeakyReLU(0.1)."""
+    """torch ConvTranspose2d(k=4, s=2, p=1) exact equivalent + LeakyReLU(0.1).
+
+    use_bias quirk (load-bearing for checkpoint conversion): FlowNetS's
+    upsampled_flowX_to_Y layers are bias=False (flownet_s.py:57-64); the
+    same layers in FlowNetC/SD/Fusion and all deconvX are bias=True."""
     features: int
     act: bool = True
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, x):
         # torch ConvTranspose2d(4, 2, padding=1) == lax padding (2, 2)
         y = nn.ConvTranspose(self.features, (4, 4), strides=(2, 2),
                              padding=((2, 2), (2, 2)),
-                             transpose_kernel=True,
+                             transpose_kernel=True, use_bias=self.use_bias,
                              kernel_init=nn.initializers.xavier_uniform())(x)
         return _leaky(y) if self.act else y
 
@@ -82,19 +88,19 @@ class FlowNetS(nn.Module):
         c6 = ConvL(1024, 3, 1, name="conv6_1")(ConvL(1024, 3, 2, name="conv6")(c5))
 
         flow6 = _predict(c6, "predict_flow6")
-        f6u = DeconvTorch(2, act=False, name="up_flow6")(flow6)
+        f6u = DeconvTorch(2, act=False, use_bias=False, name="up_flow6")(flow6)
         d5 = DeconvTorch(512, name="deconv5")(c6)
         cat5 = jnp.concatenate([c5, d5, f6u], -1)
         flow5 = _predict(cat5, "predict_flow5")
-        f5u = DeconvTorch(2, act=False, name="up_flow5")(flow5)
+        f5u = DeconvTorch(2, act=False, use_bias=False, name="up_flow5")(flow5)
         d4 = DeconvTorch(256, name="deconv4")(cat5)
         cat4 = jnp.concatenate([c4, d4, f5u], -1)
         flow4 = _predict(cat4, "predict_flow4")
-        f4u = DeconvTorch(2, act=False, name="up_flow4")(flow4)
+        f4u = DeconvTorch(2, act=False, use_bias=False, name="up_flow4")(flow4)
         d3 = DeconvTorch(128, name="deconv3")(cat4)
         cat3 = jnp.concatenate([c3, d3, f4u], -1)
         flow3 = _predict(cat3, "predict_flow3")
-        f3u = DeconvTorch(2, act=False, name="up_flow3")(flow3)
+        f3u = DeconvTorch(2, act=False, use_bias=False, name="up_flow3")(flow3)
         d2 = DeconvTorch(64, name="deconv2")(cat3)
         cat2 = jnp.concatenate([c2, d2, f3u], -1)
         return _predict(cat2, "predict_flow2")
@@ -224,14 +230,14 @@ class FlowNet2(nn.Module):
         # FlowNetC
         flowc = FlowNetC(name="flownetc")(x)
         flowc_up = up4_bilinear(flowc * self.div_flow)
-        warped1 = resample(x2, flowc_up)
+        warped1 = resample_pixel(x2, flowc_up)
         diff = channel_norm(x1 - warped1)
         concat1 = jnp.concatenate([x, warped1, flowc_up / self.div_flow, diff],
                                   -1)
         # FlowNetS1
         flows1 = FlowNetS(name="flownets_1")(concat1)
         flows1_up = up4_bilinear(flows1 * self.div_flow)
-        warped1 = resample(x2, flows1_up)
+        warped1 = resample_pixel(x2, flows1_up)
         diff = channel_norm(x1 - warped1)
         concat2 = jnp.concatenate([x, warped1, flows1_up / self.div_flow, diff],
                                   -1)
@@ -239,12 +245,12 @@ class FlowNet2(nn.Module):
         flows2 = FlowNetS(name="flownets_2")(concat2)
         flows2_up = up4_nearest(flows2 * self.div_flow)
         norm_s2 = channel_norm(flows2_up)
-        diff_s2 = channel_norm(x1 - resample(x2, flows2_up))
+        diff_s2 = channel_norm(x1 - resample_pixel(x2, flows2_up))
         # FlowNetSD
         flowsd = FlowNetSD(name="flownets_d")(x)
         flowsd_up = up4_nearest(flowsd / self.div_flow)
         norm_sd = channel_norm(flowsd_up)
-        diff_sd = channel_norm(x1 - resample(x2, flowsd_up))
+        diff_sd = channel_norm(x1 - resample_pixel(x2, flowsd_up))
         # Fusion
         concat3 = jnp.concatenate([x1, flowsd_up, flows2_up, norm_sd, norm_s2,
                                    diff_sd, diff_s2], -1)

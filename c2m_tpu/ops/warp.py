@@ -111,6 +111,27 @@ def resample(image: jnp.ndarray, flow: jnp.ndarray, use_pallas: Optional[bool] =
 
 
 @jax.jit
+def resample_pixel(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Pixel-space backward warp — resample2d CUDA extension semantics.
+
+    The FlowNet2 stack warps with the resample2d CUDA kernel
+    (resample2d_kernel.cu:16-77): source coords are plainly (x+fx, y+fy)
+    with corner clamping — i.e. align_corners=True border sampling — unlike
+    the python ``utils.ops.resample`` above (align_corners=False quirk).
+    Both conventions are load-bearing; don't unify them.
+
+    image: [B, H, W, C]; flow: [B, H, W, 2] (fx, fy) in pixels.
+    """
+    b, h, w, _ = image.shape
+    xs = jnp.arange(w, dtype=flow.dtype)
+    ys = jnp.arange(h, dtype=flow.dtype)
+    sx = xs[None, :] + flow[..., 0]
+    sy = ys[:, None] + flow[..., 1]
+    return jax.vmap(lambda im, x, y: bilinear_sample(im, x, y, padding="border"))(
+        image, sx, sy)
+
+
+@jax.jit
 def _resample_jnp(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     b, h, w, _ = image.shape
     xs = jnp.arange(w, dtype=flow.dtype)

@@ -1,0 +1,313 @@
+"""Executed weight-converter parity tests (VERDICT r1 #2).
+
+Every pretrained-weight converter is exercised offline: random-init the
+REFERENCE torch module (imported from /root/reference via tests/ref_shims),
+convert its state_dict with our tools/convert_*.py, load into the flax model,
+and assert forward parity. This proves the converters map a real checkpoint
+onto numerically identical networks without needing the (zero-egress)
+checkpoints themselves.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.ref_shims import add_ref_paths, randomize_bn_stats
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+HEAVY = os.environ.get("C2M_HEAVY_TESTS", "") == "1"
+
+
+def to_nhwc(x):
+    return np.ascontiguousarray(x.detach().numpy().transpose(0, 2, 3, 1))
+
+
+def from_nhwc_out(y):
+    """flax NHWC output -> NCHW numpy for comparison."""
+    return np.asarray(y).transpose(0, 3, 1, 2)
+
+
+def tree_paths(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict) or hasattr(v, "items"):
+            out.update(tree_paths(dict(v), prefix + (k,)))
+        else:
+            out[prefix + (k,)] = np.shape(v)
+    return out
+
+
+def assert_same_structure(init_params, converted):
+    """Converted tree must cover the init tree exactly (paths and shapes)."""
+    a = tree_paths(jax.tree.map(lambda x: x, dict(init_params)))
+    b = tree_paths(converted)
+    missing = sorted(set(a) - set(b))
+    extra = sorted(set(b) - set(a))
+    assert not missing and not extra, (
+        f"missing={missing[:6]} extra={extra[:6]}")
+    for k in a:
+        assert a[k] == b[k], f"shape mismatch at {k}: {a[k]} vs {b[k]}"
+
+
+# ---------------------------------------------------------------------------
+# VGG19 (reference dep: src/modules/layers/vgg.py:7-137 via torchvision)
+# ---------------------------------------------------------------------------
+
+def _torch_vgg19_features():
+    """torchvision vgg19().features layout (public architecture): conv3x3
+    pad1 + ReLU stacks with 2/2/4/4/4 convs, maxpool2 between stages."""
+    cfgs = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+            512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+    layers, in_c = [], 3
+    for v in cfgs:
+        if v == "M":
+            layers.append(tnn.MaxPool2d(2, 2))
+        else:
+            layers.append(tnn.Conv2d(in_c, v, 3, padding=1))
+            layers.append(tnn.ReLU(inplace=False))
+            in_c = v
+    return tnn.Sequential(*layers)
+
+
+def test_vgg19_converter_parity(tmp_path):
+    from c2m_tpu.nn.vgg import TAPS, Vgg19Features, load_vgg19_params
+    from tools.convert_vgg import convert
+
+    torch.manual_seed(0)
+    net = _torch_vgg19_features().eval()
+    sd = {f"features.{k}": v for k, v in net.state_dict().items()}
+    npz = convert(sd)
+    path = tmp_path / "vgg19.npz"
+    np.savez(path, **npz)
+    variables = load_vgg19_params(str(path))
+    assert variables is not None
+
+    x_t = torch.rand(1, 3, 64, 96)
+    # torch taps: output after every ReLU
+    taps_t, h = [], x_t
+    with torch.no_grad():
+        for m in net:
+            h = m(h)
+            if isinstance(m, tnn.ReLU):
+                taps_t.append(h.numpy())
+
+    model = Vgg19Features()
+    out = model.apply(variables, jnp.asarray(to_nhwc(x_t)))
+    assert list(TAPS) == [f"relu{s}_{i}" for s, n in
+                          zip(range(1, 6), (2, 2, 4, 4, 4))
+                          for i in range(1, n + 1)]
+    for tap, ref in zip(TAPS, taps_t):
+        np.testing.assert_allclose(from_nhwc_out(out[tap]), ref,
+                                   atol=2e-5, rtol=1e-4, err_msg=tap)
+
+
+# ---------------------------------------------------------------------------
+# FlowNet2 family (reference dep: src/modules/third_party/flow_net/)
+# ---------------------------------------------------------------------------
+
+class _Args:
+    fp16 = False
+    rgb_max = 1.0
+
+
+def _flownet_pair(torch_cls, flax_cls, in_ch, prefix, seed):
+    """Build random-init torch net + converted flax params."""
+    from tools.convert_flownet2 import convert
+    add_ref_paths()
+    torch.manual_seed(seed)
+    net = torch_cls(_Args(), use_batch_norm=False).eval()
+    sd = {f"{prefix}.{k}": v for k, v in net.state_dict().items()}
+    params = convert(sd)[prefix]
+    model = flax_cls()
+    x = jnp.zeros((1, 64, 128, in_ch), jnp.float32)
+    init = model.init(jax.random.PRNGKey(0), x)["params"]
+    assert_same_structure(init, params)
+    return net, model, params
+
+
+def _flownet_parity(torch_cls, flax_cls, in_ch, prefix, seed=0):
+    net, model, params = _flownet_pair(torch_cls, flax_cls, in_ch, prefix, seed)
+    x_t = torch.randn(1, in_ch, 64, 128) * 0.3
+    with torch.no_grad():
+        out_t = net(x_t)
+    if isinstance(out_t, tuple):
+        out_t = out_t[0]
+    out_j = model.apply({"params": params}, jnp.asarray(to_nhwc(x_t)))
+    np.testing.assert_allclose(from_nhwc_out(out_j), out_t.numpy(),
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_flownet_s_converter_parity():
+    add_ref_paths()
+    from modules.third_party.flow_net.flownet2.networks.flownet_s import \
+        FlowNetS as TorchS
+    from c2m_tpu.models.flownet2 import FlowNetS
+    _flownet_parity(TorchS, lambda: FlowNetS(input_channels=12), 12,
+                    "flownets_1")
+
+
+def test_flownet_sd_converter_parity():
+    add_ref_paths()
+    from modules.third_party.flow_net.flownet2.networks.flownet_sd import \
+        FlowNetSD as TorchSD
+    from c2m_tpu.models.flownet2 import FlowNetSD
+    _flownet_parity(TorchSD, FlowNetSD, 6, "flownets_d")
+
+
+def test_flownet_fusion_converter_parity():
+    add_ref_paths()
+    from modules.third_party.flow_net.flownet2.networks.flownet_fusion import \
+        FlowNetFusion as TorchFusion
+    from c2m_tpu.models.flownet2 import FlowNetFusion
+    _flownet_parity(TorchFusion, FlowNetFusion, 11, "flownetfusion")
+
+
+def test_flownet_c_converter_parity():
+    add_ref_paths()
+    from modules.third_party.flow_net.flownet2.networks.flownet_c import \
+        FlowNetC as TorchC
+    from c2m_tpu.models.flownet2 import FlowNetC
+    _flownet_parity(TorchC, FlowNetC, 6, "flownetc")
+
+
+@pytest.mark.skipif(not HEAVY, reason="162M-param stack; C2M_HEAVY_TESTS=1")
+def test_flownet2_full_stack_parity():
+    add_ref_paths()
+    from modules.third_party.flow_net.flownet2.models import \
+        FlowNet2 as TorchFlowNet2
+    from tools.convert_flownet2 import convert
+    from c2m_tpu.models.flownet2 import FlowNet2
+
+    torch.manual_seed(1)
+    net = TorchFlowNet2(_Args(), use_batch_norm=False).eval()
+    params = convert(net.state_dict())
+
+    im1 = torch.rand(1, 3, 64, 64)
+    im2 = torch.rand(1, 3, 64, 64)
+    # reference input layout [B, 3, 2, H, W] (models.py:129-133)
+    inputs = torch.stack([im1, im2], dim=2)
+    with torch.no_grad():
+        out_t = net(inputs)
+
+    model = FlowNet2()
+    out_j = model.apply({"params": params}, jnp.asarray(to_nhwc(im1)),
+                        jnp.asarray(to_nhwc(im2)))
+    np.testing.assert_allclose(from_nhwc_out(out_j), out_t.numpy(),
+                               atol=2e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# SiamRPN++ (reference dep: pysot/pysot/models/model_builder.py:18-115)
+# ---------------------------------------------------------------------------
+
+def test_siamrpn_converter_parity():
+    add_ref_paths()
+    from pysot.core.config import cfg
+    cfg.BACKBONE.TYPE = "resnet50"
+    cfg.BACKBONE.KWARGS = {"used_layers": [2, 3, 4]}
+    cfg.ADJUST.ADJUST = True
+    cfg.ADJUST.TYPE = "AdjustAllLayer"
+    cfg.ADJUST.KWARGS = {"in_channels": [512, 1024, 2048],
+                         "out_channels": [256, 256, 256]}
+    cfg.RPN.TYPE = "MultiRPN"
+    cfg.RPN.KWARGS = {"anchor_num": 5, "in_channels": [256, 256, 256],
+                      "weighted": True}
+    cfg.MASK.MASK = False
+    from pysot.models.model_builder import ModelBuilder
+    from tools.convert_siamrpn import convert
+    from c2m_tpu.models.siamrpn import SiamRPNpp
+
+    torch.manual_seed(2)
+    net = ModelBuilder().eval()
+    randomize_bn_stats(net, seed=3)
+    params, stats = convert(net.state_dict())
+
+    model = SiamRPNpp()
+    z = torch.rand(1, 3, 127, 127)
+    x = torch.rand(1, 3, 255, 255)
+    init = model.init(jax.random.PRNGKey(0), jnp.asarray(to_nhwc(z)),
+                      jnp.asarray(to_nhwc(x)))
+    assert_same_structure(init["params"], params)
+    assert_same_structure(init["batch_stats"], stats)
+
+    with torch.no_grad():
+        net.template(z)
+        out_t = net.track(x)
+    cls_j, loc_j = model.apply({"params": params, "batch_stats": stats},
+                               jnp.asarray(to_nhwc(z)), jnp.asarray(to_nhwc(x)))
+    for got, want in ((cls_j, out_t["cls"]), (loc_j, out_t["loc"])):
+        want = want.numpy()
+        scale = max(np.abs(want).max(), 1e-6)
+        np.testing.assert_allclose(from_nhwc_out(got) / scale, want / scale,
+                                   atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# HRNet-48 (reference dep: panoptic_deeplab/segmentation/model/backbone/
+# hrnet.py:294 — the Panoptic-DeepLab backbone)
+# ---------------------------------------------------------------------------
+
+def test_hrnet48_converter_parity():
+    add_ref_paths()
+    from segmentation.model.backbone.hrnet import hrnet48
+    from tools.convert_panoptic import convert
+    from c2m_tpu.models.panoptic_deeplab import HRNet48
+
+    torch.manual_seed(4)
+    net = hrnet48(pretrained=False).eval()
+    randomize_bn_stats(net, seed=5)
+    sd = {f"backbone.{k}": v for k, v in net.state_dict().items()}
+    params, stats = convert(sd)
+
+    model = HRNet48()
+    x_t = torch.rand(1, 3, 64, 96)
+    x_j = jnp.asarray(to_nhwc(x_t))
+    init = model.init(jax.random.PRNGKey(0), x_j)
+    assert_same_structure(init["params"], params["backbone"])
+    assert_same_structure(init["batch_stats"], stats["backbone"])
+
+    with torch.no_grad():
+        out_t = net(x_t)
+    out_j = model.apply({"params": params["backbone"],
+                         "batch_stats": stats["backbone"]}, x_j)
+    for key in ("res2", "res3", "res4", "res5"):
+        np.testing.assert_allclose(from_nhwc_out(out_j[key]),
+                                   out_t[key].numpy(),
+                                   atol=1e-4, rtol=1e-3, err_msg=key)
+
+
+# ---------------------------------------------------------------------------
+# YOLOv3 (reference dep: src/modules/networks/yolo_v3/models.py:1-345 +
+# config/yolov3.cfg; loaded from the binary darknet format)
+# ---------------------------------------------------------------------------
+
+def test_yolov3_darknet_roundtrip_parity(tmp_path):
+    add_ref_paths()
+    from modules.networks.yolo_v3.models import Darknet
+    from c2m_tpu.eval.yolov3 import YoloV3, load_darknet_weights
+
+    cfgp = "/root/reference/src/modules/networks/yolo_v3/config/yolov3.cfg"
+    torch.manual_seed(6)
+    net = Darknet(cfgp).eval()
+    randomize_bn_stats(net, seed=7)
+    wpath = tmp_path / "rand_yolov3.weights"
+    net.save_darknet_weights(str(wpath))
+
+    model = YoloV3()
+    x_t = torch.rand(1, 3, 160, 160)
+    x_j = jnp.asarray(to_nhwc(x_t))
+    variables = model.init(jax.random.PRNGKey(0), x_j)
+    variables = load_darknet_weights(variables, str(wpath))
+
+    with torch.no_grad():
+        out_t = net(x_t)
+    out_j = model.apply({"params": variables["params"],
+                         "batch_stats": variables["batch_stats"]}, x_j)
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(),
+                               atol=1e-3, rtol=1e-3)
