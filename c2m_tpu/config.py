@@ -368,3 +368,26 @@ def tiny_config(h: int = 64, w: int = 128, num_predicted: int = 5,
     cfg.test_params.input_size = [h, w]
     cfg.test_params.num_predicted_frames = num_predicted
     return cfg.validate()
+
+
+def shrink_model(cfg: Config, block_expansion: int = 16,
+                 max_expansion: int = 128) -> Config:
+    """Width-shrink every module (structure unchanged: same modules, losses,
+    optimizer groups) for cheap-compile tests and the multichip dryrun."""
+    mp = cfg.model_params
+    for section in (mp.appearance_encoder, mp.generator, mp.discriminator,
+                    mp.flow_embedder, mp.motion_estimator.sparse_motion_encoder,
+                    mp.motion_estimator.dense_motion_encoder,
+                    mp.motion_estimator.dense_motion_decoder):
+        if hasattr(section, "block_expansion"):
+            section.block_expansion = block_expansion
+        if hasattr(section, "max_expansion"):
+            section.max_expansion = max_expansion
+        if hasattr(section, "ndf"):
+            section.ndf = block_expansion
+    me = cfg.model_params.motion_estimator
+    me.dense_motion_encoder.out_channel_bg = max_expansion
+    me.dense_motion_encoder.out_channel_fg = max_expansion
+    me.sparse_motion_estimator.h_dim = max_expansion
+    me.sparse_motion_estimator.z_dim = max_expansion * 2
+    return cfg

@@ -40,16 +40,30 @@ TRAJ_FULL_W = 2048
 TRAJ_FULL_H = 1024
 
 _FRAME_RE = re.compile(r"^(.*_)(\d{6})(_[^/]*)$")
+_KITTI_FRAME_RE = re.compile(r"\d{10}")
 
 
 def shift_frame_index(name: str, delta: int) -> str:
-    """aachen_000001_000019_leftImg8bit.png, +2 -> ..._000021_leftImg8bit.png."""
+    """Shift the frame-index group of a filename by ``delta``.
+
+    Cityscapes: the middle 6-digit group, aachen_000001_000019_leftImg8bit.png
+    +2 -> ..._000021_... (reference slices fixed offsets, cityscapes.py:20-29).
+    KITTI: the LAST 10-digit group, drive0001/0000000019.png +2 ->
+    .../0000000021.png (reference slices [-14:-4] / [-29:-19],
+    kitti.py:20-28, 239-246) — matching the last 10-digit run generalizes the
+    same arithmetic to any suffix.
+    """
     head, tail = os.path.split(name)
     m = _FRAME_RE.match(tail)
-    if not m:
-        raise ValueError(f"cannot parse frame index from {name!r}")
-    idx = int(m.group(2)) + delta
-    return os.path.join(head, f"{m.group(1)}{idx:06d}{m.group(3)}")
+    if m:
+        idx = int(m.group(2)) + delta
+        return os.path.join(head, f"{m.group(1)}{idx:06d}{m.group(3)}")
+    runs = list(_KITTI_FRAME_RE.finditer(tail))
+    if runs:
+        m = runs[-1]
+        idx = int(m.group(0)) + delta
+        return os.path.join(head, f"{tail[:m.start()]}{idx:010d}{tail[m.end():]}")
+    raise ValueError(f"cannot parse frame index from {name!r}")
 
 
 def _resize(img: Image.Image, size: Tuple[int, int], nearest: bool) -> Image.Image:
@@ -259,8 +273,12 @@ class ClipDataset:
         return len(self.names)
 
     def _stem(self, name: str) -> str:
-        """Strip the 'leftImg8bit.png' tail (reference name[0:-15])."""
-        return name[:-15]
+        """Cityscapes strips the 'leftImg8bit.png' tail (reference
+        cityscapes name[0:-15]); KITTI-style names keep everything before the
+        extension (kitti.py name[0:-4])."""
+        if name.endswith("leftImg8bit.png"):
+            return name[:-15]
+        return name[: name.rfind(".")] if "." in name else name
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         name = self.names[idx]

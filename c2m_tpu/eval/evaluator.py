@@ -163,14 +163,24 @@ class Evaluator:
         else:
             results["fid"] = float("nan")  # inception weights unavailable
         results["fvd"] = self._compute_fvd()
+        if self._det["gt_detected"]:
+            # detection metrics over PAIRED per-object binary lists, exactly
+            # as the reference (evaluator.py:295-298): pred misses are
+            # zero-padded to gt length, then sklearn f1/accuracy.
+            from sklearn.metrics import accuracy_score, f1_score
+            gt = list(self._det["gt_detected"])
+            pred = list(self._det["pred_detected"])
+            pred.extend([0] * (len(gt) - len(pred)))
+            results["detection_f1"] = float(f1_score(gt, pred))
+            results["detection_accuracy"] = float(accuracy_score(gt, pred))
+            results["gt_detection"] = float(sum(gt))
+            results["pred_detection"] = float(sum(pred))
         if self._det["mse"]:
-            # detection trajectory metrics (evaluator.py:295-321)
+            # barycenter trajectory MSE of matched detections
+            # (evaluator.py:318-321)
             results["detection_mse"] = float(np.mean(self._det["mse"]))
             results["detection_mse_normalized"] = float(
                 np.mean(self._det["mse_normalized"]))
-            gt_n = len(self._det["gt_detected"])
-            pred_n = len(self._det["pred_detected"])
-            results["detection_accuracy"] = pred_n / max(gt_n, 1)
         return results
 
     def _fid_embedder(self):

@@ -32,8 +32,10 @@ class Unit3D(nn.Module):
                     strides=tuple(self.stride), padding="SAME",
                     use_bias=not self.use_bn)(x)
         if self.use_bn:
-            x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
-                             use_scale=False)(x)
+            # TF I3D BN has no gamma (center-only); keeping a scale param
+            # initialized to 1 is equivalent and lets torch-layout
+            # checkpoints (affine BN) convert losslessly.
+            x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3)(x)
         return nn.relu(x) if self.act else x
 
 

@@ -68,6 +68,9 @@ class Trainer:
             self.sharding = None
         self.train_step = make_train_step(cfg)
         self.rng = jax.random.PRNGKey(tp.seed + 1)
+        self._infer_fn = None
+        self._val_loader = None
+        self._val_iter = None
 
         # on-the-fly FlowNet2 supervision when flows aren't precomputed
         # (reference trainer.py:42-98)
@@ -126,6 +129,8 @@ class Trainer:
                                                time.time() - t_iter)
                 if is_main and self.total_iter % vz.display_freq == 0:
                     self._display(batch, epoch)
+                if is_main and self.total_iter % tp.eval_freq == 0:
+                    self._generate_eval(epoch, batch)
                 if is_main and self.total_iter % vz.save_latest_freq == 0:
                     save_checkpoint(self.job_dir, jax.device_get(self.state),
                                     epoch, self.total_iter)
@@ -158,6 +163,75 @@ class Trainer:
         (out, loss_dict, *_), _ = self.state.apply_fn(
             {"params": self.state.params, "batch_stats": self.state.batch_stats,
              "spectral": self.state.spectral},
-            batch, train=False, rngs={"sample": self.rng},
+            batch, train=False,
+            rngs={"sample": jax.random.fold_in(self.rng, self.total_iter)},
             mutable=["batch_stats", "spectral"])
         return out, loss_dict
+
+    def _next_val_batch(self):
+        """Cycle one batch off the val set; the training batch is the
+        fallback when no val dataset is wired (the reference requires a val
+        loader, trainer.py:193)."""
+        if self.val_dataset is None:
+            return None
+        if getattr(self, "_val_loader", None) is None:
+            tp = self.cfg.train_params
+            self._val_loader = DataLoader(
+                self.val_dataset, batch_size=self.cfg.test_params.batch_size,
+                shuffle=False, seed=tp.seed, num_workers=0,
+                host_id=jax.process_index(), num_hosts=jax.process_count())
+            self._val_iter = iter(self._val_loader)
+        try:
+            return next(self._val_iter)
+        except StopIteration:
+            self._val_iter = iter(self._val_loader)
+            try:
+                return next(self._val_iter)
+            except StopIteration:  # val set smaller than the test batch
+                return None
+
+    def _generate_eval(self, epoch: int, batch=None) -> Dict[str, np.ndarray]:
+        """Mid-train SAMPLED-inference eval (reference _generate_eval,
+        trainer.py:186-209, cadence base.py:115-121): fresh z ~ N(0,1), fresh
+        random clicks, the ``inference`` path (not a train=False forward),
+        per-call rng; visualized under the "eval" tag."""
+        val_np = self._next_val_batch()
+        host_batch = val_np if val_np is not None else batch
+        if host_batch is None:
+            return None
+        dev_batch = (_device_batch(host_batch, self.sharding)
+                     if val_np is not None or batch is None else batch)
+        me = self.cfg.model_params.motion_estimator.dense_motion_encoder
+        z_dim = me.out_channel_bg + me.out_channel_fg
+        rng = jax.random.fold_in(jax.random.fold_in(self.rng, self.total_iter),
+                                 7)
+        rng_z, rng_click, rng_sample = jax.random.split(rng, 3)
+        b = dev_batch["video"].shape[0]
+        z_m = jax.random.normal(rng_z, (b, z_dim))
+        from c2m_tpu.models.sparse_motion import sample_click_indices
+        n_max = dev_batch["node_mask"].shape[1]
+        idx, _ = sample_click_indices(
+            rng_click, jnp.asarray(dev_batch["num_real_nodes"]), n_max)
+        click = (jax.nn.one_hot(idx, n_max, dtype=jnp.float32)
+                 * (jnp.asarray(dev_batch["num_real_nodes"]) > 0)[:, None])
+        if self._infer_fn is None:
+            model = self.model
+
+            @jax.jit
+            def infer(variables, batch, z_m, click, rng):
+                return model.apply(variables, batch, z_m, click,
+                                   method="inference", rngs={"sample": rng})
+            self._infer_fn = infer
+        variables = {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats,
+                     "spectral": self.state.spectral}
+        out = jax.device_get(
+            self._infer_fn(variables, dev_batch, z_m, click, rng_sample))
+        hb = {k: np.asarray(v) for k, v in dev_batch.items()}
+        self.visualizer.display_results(hb, out, epoch, self.total_iter,
+                                        tag="eval")
+        self.visualizer.log_trajectories(
+            epoch, self.total_iter, np.asarray(out["thetas"]),
+            np.asarray(hb["targets_theta"]), np.asarray(hb["node_mask"]),
+            tag="eval")
+        return out

@@ -129,19 +129,20 @@ class Visualizer:
                             f" gt_dx={targets[bi, ni, :, 2].round(4)}\n")
 
     def display_results(self, batch, out, epoch: int, it: int,
-                        max_samples: int = 1) -> None:
+                        max_samples: int = 1, tag: str = "train") -> None:
         if not self.use_html:
             return
         for s in range(min(max_samples, out["generated"].shape[0])):
             streams = visual_streams(batch, out, sample=s)
             ims, txts, links = [], [], []
             for name, vid in streams.items():
-                fname = f"e{epoch:04d}_i{it:07d}_s{s}_{name}.png"
+                fname = f"{tag}_e{epoch:04d}_i{it:07d}_s{s}_{name}.png"
                 Image.fromarray(video_strip(np.asarray(vid))).save(
                     os.path.join(self.gallery.img_dir, fname))
                 ims.append(fname)
                 txts.append(name)
                 links.append(fname)
-            self.gallery.add_header(f"epoch {epoch}, iter {it}, sample {s}")
+            self.gallery.add_header(f"[{tag}] epoch {epoch}, iter {it}, "
+                                    f"sample {s}")
             self.gallery.add_images(ims, txts, links)
         self.gallery.save()

@@ -311,3 +311,64 @@ def test_yolov3_darknet_roundtrip_parity(tmp_path):
                          "batch_stats": variables["batch_stats"]}, x_j)
     np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(),
                                atol=1e-3, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# InceptionV3 (reference dep: src/utils/fid.py:26-58 via torchvision) — torch
+# replica in tests/torch_inception.py supplies the state_dict layout.
+# ---------------------------------------------------------------------------
+
+def test_inception_converter_parity():
+    from tests.torch_inception import InceptionV3Trunk
+    from tools.convert_inception import convert
+    from c2m_tpu.eval.inception import InceptionV3Pool3
+
+    torch.manual_seed(8)
+    net = InceptionV3Trunk().eval()
+    randomize_bn_stats(net, seed=9)
+    params, stats = convert(net.state_dict())
+
+    model = InceptionV3Pool3()
+    x_t = torch.rand(1, 3, 139, 139) * 2 - 1
+    x_j = jnp.asarray(to_nhwc(x_t))
+    init = model.init(jax.random.PRNGKey(0), x_j)
+    assert_same_structure(init["params"], params)
+    assert_same_structure(init["batch_stats"], stats)
+
+    with torch.no_grad():
+        out_t = net(x_t).numpy()
+    out_j = np.asarray(model.apply({"params": params, "batch_stats": stats},
+                                   x_j))
+    scale = max(np.abs(out_t).max(), 1e-6)
+    np.testing.assert_allclose(out_j / scale, out_t / scale, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# I3D (reference dep: src/utils/fvd/fvd.py:70-127 TF-Hub module; converter
+# consumes the public pytorch-i3d layout — torch replica in tests/torch_i3d)
+# ---------------------------------------------------------------------------
+
+def test_i3d_converter_parity():
+    from tests.torch_i3d import I3DTrunk
+    from tools.convert_i3d import convert
+    from c2m_tpu.eval.i3d import InceptionI3d
+
+    torch.manual_seed(10)
+    net = I3DTrunk().eval()
+    randomize_bn_stats(net, seed=11)
+    params, stats = convert(net.state_dict())
+
+    model = InceptionI3d()
+    # NCTHW -> NTHWC
+    x_t = torch.rand(1, 3, 9, 64, 64) * 2 - 1
+    x_j = jnp.asarray(x_t.numpy().transpose(0, 2, 3, 4, 1))
+    init = model.init(jax.random.PRNGKey(0), x_j, endpoint="logits")
+    assert_same_structure(init["params"], params)
+    assert_same_structure(init["batch_stats"], stats)
+
+    with torch.no_grad():
+        out_t = net(x_t).numpy()
+    out_j = np.asarray(model.apply({"params": params, "batch_stats": stats},
+                                   x_j, endpoint="embedding"))
+    scale = max(np.abs(out_t).max(), 1e-6)
+    np.testing.assert_allclose(out_j / scale, out_t / scale, atol=1e-5)

@@ -11,19 +11,9 @@ import argparse
 import numpy as np
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--out", required=True)
-    ap.add_argument("--torch-checkpoint", default=None)
-    args = ap.parse_args()
-
-    import torch
-    if args.torch_checkpoint:
-        sd = torch.load(args.torch_checkpoint, map_location="cpu")
-    else:
-        import torchvision
-        sd = torchvision.models.inception_v3(weights="DEFAULT").state_dict()
-
+def convert(sd):
+    """torchvision inception_v3 state_dict -> (params, batch_stats) trees for
+    c2m_tpu.eval.inception.InceptionV3Pool3 (AuxLogits/fc dropped)."""
     params, stats = {}, {}
 
     def put(tree, path, leaf):
@@ -53,7 +43,23 @@ def main():
                 put(stats, [*mod_path, "BatchNorm_0", "mean"], arr)
             elif leaf == "running_var":
                 put(stats, [*mod_path, "BatchNorm_0", "var"], arr)
+    return params, stats
 
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--torch-checkpoint", default=None)
+    args = ap.parse_args()
+
+    import torch
+    if args.torch_checkpoint:
+        sd = torch.load(args.torch_checkpoint, map_location="cpu")
+    else:
+        import torchvision
+        sd = torchvision.models.inception_v3(weights="DEFAULT").state_dict()
+
+    params, stats = convert(sd)
     np.savez(args.out, params=np.asarray(params, dtype=object),
              batch_stats=np.asarray(stats, dtype=object))
     print(f"wrote {args.out}")

@@ -41,12 +41,34 @@ def main():
     ap.add_argument("--frames", type=int, default=6)
     ap.add_argument("--splits", nargs="+", default=["train", "val"])
     ap.add_argument("--max-objects", type=int, default=8)
+    ap.add_argument("--style", default="cityscapes",
+                    choices=["cityscapes", "kitti", "mvtid"],
+                    help="on-disk naming: cityscapes 6-digit mid-name frame "
+                         "indices; kitti 10-digit trailing indices "
+                         "(kitti.py:20-28); mvtid name-list .jpg scenes "
+                         "(mvtid.py:274-330)")
+    ap.add_argument("--dataset-type", default="drone",
+                    help="mvtid only: the <dataset_type>/<split> path segment")
     args = ap.parse_args()
 
     cfg = Config()
     cfg.dataset_params.max_objects = args.max_objects
     cfg.train_params.input_size = [args.height, args.width]
     cfg.train_params.num_predicted_frames = args.frames - cfg.train_params.num_input_frames
+    if args.style == "kitti":
+        # KITTI mask/flow names are the frame name + suffix (kitti.py:307-313);
+        # a canonical KITTI config uses extension-style suffixes.
+        cfg.dataset_params.segmask_suffix = "_ssmask.png"
+        cfg.dataset_params.instance_suffix = "_instanceIds.png"
+        cfg.dataset_params.bw_of_suffix = "_flow_backward.flow"
+        cfg.dataset_params.bw_occ_suffix = "_occlusion_bw.png"
+        cfg.dataset_params.fw_of_suffix = "_flow_forward.flow"
+        cfg.dataset_params.fw_occ_suffix = "_occlusion_fw.png"
+    if args.style == "mvtid":
+        cfg.dataset_params.segmask_suffix = "gtFine_labelIds.png"
+        cfg.dataset_params.instance_suffix = "gtFine_instanceIds.png"
+        cfg.dataset_params.bw_of_suffix = "flow_backward.flow"
+        cfg.dataset_params.bw_occ_suffix = "occlusion_bw.png"
     cfg.validate()
     dp = cfg.dataset_params
     h, w = args.height, args.width
@@ -58,8 +80,42 @@ def main():
             batch = make_batch(cfg, batch_size=1, seed=1000 * (split == "val") + ci)
             city = "synthcity"
             base_frame = 19 + ci * 30
-            stem_of = lambda i, tail: f"{city}/{city}_{ci:06d}_{base_frame + i:06d}_{tail}"
-            names.append(f"{city}/{city}_{ci:06d}_{base_frame:06d}_leftImg8bit.png")
+            if args.style == "kitti":
+                scene = f"drive{ci:04d}"
+                stem_of = lambda i, tail: (
+                    f"{scene}/{base_frame + i:010d}"
+                    + (tail if tail.startswith(("_", ".")) else
+                       "" if not tail else "_" + tail))
+                first = f"{scene}/{base_frame:010d}.png"
+
+                def img_name(i):
+                    return f"{scene}/{base_frame + i:010d}.png"
+            elif args.style == "mvtid":
+                scene = f"scene{ci:04d}"
+                stem_of = lambda i, tail: (
+                    f"{scene}/frame_{base_frame + i:04d}"
+                    + ("_" + tail if tail else ""))
+                first = f"{scene}/frame_{base_frame:04d}.jpg"
+
+                def img_name(i):
+                    return f"{scene}/frame_{base_frame + i:04d}.jpg"
+            else:
+                stem_of = lambda i, tail: \
+                    f"{city}/{city}_{ci:06d}_{base_frame + i:06d}_{tail}"
+                first = f"{city}/{city}_{ci:06d}_{base_frame:06d}_leftImg8bit.png"
+
+                def img_name(i):
+                    return stem_of(i, "leftImg8bit.png")
+            names.append(first)
+
+            def root_of(kind):
+                base = os.path.join(args.root, getattr(dp, f"{pre}_{kind}_path"))
+                if args.style == "mvtid":
+                    # MVTID layout: <root>/<dataset_type>/<dir>/<split>
+                    rel = os.path.relpath(base, args.root)
+                    return os.path.join(args.root, args.dataset_type, rel,
+                                        split)
+                return base
 
             video = batch["video"][0]
             inst = batch["instance_mask"][0]
@@ -67,23 +123,22 @@ def main():
             fg = batch["fg_mask"][0]
             for i in range(args.frames):
                 rgb = (video[i] * 255).astype(np.uint8)
-                save_png(os.path.join(args.root, getattr(dp, f"{pre}_images_path"),
-                                      stem_of(i, "leftImg8bit.png")), rgb)
+                save_png(os.path.join(root_of("images"), img_name(i)), rgb)
                 # semantic trainId map from the one-hot channels
                 seg = np.argmax(bg[i], axis=-1).astype(np.uint8)
                 fg_any = fg[i].max(axis=-1) > 0
                 seg[fg_any] = np.argmax(fg[i], axis=-1)[fg_any] + 11
-                save_png(os.path.join(args.root, getattr(dp, f"{pre}_segmasks_path"),
+                save_png(os.path.join(root_of("segmasks"),
                                       stem_of(i, dp.segmask_suffix)), seg)
-                save_png(os.path.join(args.root, getattr(dp, f"{pre}_instances_path"),
+                save_png(os.path.join(root_of("instances"),
                                       stem_of(i, dp.instance_suffix)),
                          inst[i, ..., 0].astype(np.int32), mode="I")
                 if i >= 1:
-                    write_flow(os.path.join(args.root, getattr(dp, f"{pre}_bw_of_path"),
+                    write_flow(os.path.join(root_of("bw_of"),
                                             stem_of(i, dp.bw_of_suffix)),
                                batch["target_bw_of"][0, i - 1])
                     occ = (batch["target_bw_occ"][0, i - 1, ..., 0] * 255).astype(np.uint8)
-                    save_png(os.path.join(args.root, getattr(dp, f"{pre}_bw_occ_path"),
+                    save_png(os.path.join(root_of("bw_occ"),
                                           stem_of(i, dp.bw_occ_suffix)), occ)
                     fw = batch.get("target_fw_of")
                     if fw is None:
@@ -97,11 +152,11 @@ def main():
                             jnp.asarray(batch["targets_theta"]))
                         batch["target_fw_of"] = np.asarray(sp["sparse_motion_fw"])
                         batch["target_fw_occ"] = np.asarray(sp["sparse_occ_fw"])
-                    write_flow(os.path.join(args.root, getattr(dp, f"{pre}_fw_of_path"),
+                    write_flow(os.path.join(root_of("fw_of"),
                                             stem_of(i, dp.fw_of_suffix)),
                                batch["target_fw_of"][0, i - 1])
                     occf = (batch["target_fw_occ"][0, i - 1, ..., 0] * 255).astype(np.uint8)
-                    save_png(os.path.join(args.root, getattr(dp, f"{pre}_fw_occ_path"),
+                    save_png(os.path.join(root_of("fw_occ"),
                                           stem_of(i, dp.fw_occ_suffix)), occf)
 
             # trajectory txts: per object, x,y,w,h,iid per frame in 2048x1024
@@ -122,9 +177,8 @@ def main():
                         f"{(x1 - x0) / w * TRAJ_FULL_W},{(y1 - y0) / h * TRAJ_FULL_H},"
                         f"{iid}")
                 if lines:
-                    tdir = os.path.join(args.root, getattr(dp, f"{pre}_tracking_path"))
-                    tpath = os.path.join(
-                        tdir, f"{city}/{city}_{ci:06d}_{base_frame:06d}_{iid}.txt")
+                    tpath = os.path.join(root_of("tracking"),
+                                         stem_of(0, f"{iid}.txt"))
                     os.makedirs(os.path.dirname(tpath), exist_ok=True)
                     with open(tpath, "w") as f:
                         f.write("\n".join(lines))

@@ -44,14 +44,22 @@ def main():
     cfg = Config.from_yaml(args.config)
     if args.seed is not None:
         cfg.train_params.seed = args.seed
-    from c2m_tpu.data.dataset import get_training_set
+    from c2m_tpu.data.dataset import get_test_set, get_training_set
     from c2m_tpu.parallel.mesh import make_mesh
     from c2m_tpu.train.trainer import Trainer
 
     dataset = get_training_set(cfg)
+    try:
+        # val set feeds the eval_freq-cadenced mid-train sampled inference
+        # (reference src/train.py:62-66 + trainer.py:186-209)
+        val_dataset = get_test_set(cfg)
+    except Exception as e:
+        print(f"no val set ({e}); mid-train eval falls back to train batches")
+        val_dataset = None
 
     mesh = make_mesh() if len(jax.devices()) > 1 else None
-    trainer = Trainer(cfg, dataset, job_dir=args.job_dir, mesh=mesh)
+    trainer = Trainer(cfg, dataset, val_dataset=val_dataset,
+                      job_dir=args.job_dir, mesh=mesh)
 
     if args.profile:
         # reference --profile: 7 iterations under the profiler, then exit
