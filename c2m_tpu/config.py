@@ -128,6 +128,9 @@ class TrainParams:
     # TPU-native additions
     dtype: str = "bfloat16"        # compute dtype for conv stacks
     steps_per_epoch: Optional[int] = None
+    remat: bool = False            # rematerialize the big submodules in the
+    # train step (jax.checkpoint); trades ~1 extra forward for the activation
+    # memory — required for the 512x1024 long-horizon config on 16 GB chips
 
     @property
     def num_frames(self) -> int:

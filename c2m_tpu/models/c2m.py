@@ -61,27 +61,38 @@ class C2MGenerator(nn.Module):
         mp, tp = cfg.model_params, cfg.train_params
         dtype = _dtype_of(cfg)
         me = mp.motion_estimator
-        self.appearance_encoder = AppearanceEncoder(mp.appearance_encoder, tp,
-                                                    dtype=dtype)
+
+        def maybe_remat(cls, train_argnum):
+            """Segment-wise rematerialization (train_params.remat): each big
+            submodule recomputes its activations in the backward pass, so the
+            512x1024 long-horizon train step fits 16 GB HBM. ``train`` must be
+            static (and hence positional) under jax.checkpoint."""
+            if tp.remat:
+                return nn.remat(cls, static_argnums=(train_argnum,))
+            return cls
+
+        self.appearance_encoder = maybe_remat(AppearanceEncoder, 4)(
+            mp.appearance_encoder, tp, dtype=dtype)
         scene_features = mp.appearance_encoder.block_expansion * (
             2 ** mp.appearance_encoder.pooling_after)
         self.sparse_motion_estimator = SparseMotionEstimator(
             me.sparse_motion_estimator, tp.num_predicted_frames,
             tp.num_input_frames, scene_features=scene_features)
-        self.sparse_feature_encoder = SparseMotionFeatureEncoder(
-            me.sparse_motion_encoder, dtype=dtype)
-        self.motion_encoder_bg = DenseMotionEncoder(
+        self.sparse_feature_encoder = maybe_remat(
+            SparseMotionFeatureEncoder, 2)(me.sparse_motion_encoder,
+                                           dtype=dtype)
+        self.motion_encoder_bg = maybe_remat(DenseMotionEncoder, 2)(
             me.dense_motion_encoder, me.dense_motion_encoder.out_channel_bg,
             dtype=dtype)
-        self.motion_encoder_fg = DenseMotionEncoder(
+        self.motion_encoder_fg = maybe_remat(DenseMotionEncoder, 2)(
             me.dense_motion_encoder, me.dense_motion_encoder.out_channel_fg,
             dtype=dtype)
-        self.dense_generator_bw = DenseMotionDecoder(
+        self.dense_generator_bw = maybe_remat(DenseMotionDecoder, 6)(
             me.dense_motion_decoder, tp.num_input_frames,
             tp.num_predicted_frames,
             sparse_down=me.sparse_motion_encoder.num_down_blocks, dtype=dtype)
         if tp.use_fw_of:
-            self.dense_generator_fw = DenseMotionDecoder(
+            self.dense_generator_fw = maybe_remat(DenseMotionDecoder, 6)(
                 me.dense_motion_decoder, tp.num_input_frames,
                 tp.num_predicted_frames,
                 sparse_down=me.sparse_motion_encoder.num_down_blocks, dtype=dtype)
@@ -94,8 +105,8 @@ class C2MGenerator(nn.Module):
         self.zconv = SameBlockTwoConv2d(16 * tp.num_predicted_frames, 3, 1, 1,
                                         padding_mode="reflect", dtype=dtype,
                                         name="zconv")
-        self.generator = OcclusionAwareGenerator(mp.generator, mp.flow_embedder,
-                                                 dataset=self.dataset, dtype=dtype)
+        self.generator = maybe_remat(OcclusionAwareGenerator, 4)(
+            mp.generator, mp.flow_embedder, dataset=self.dataset, dtype=dtype)
 
     # -- shared pieces ------------------------------------------------------
 
@@ -142,7 +153,7 @@ class C2MGenerator(nn.Module):
     def _appearance(self, batch: Batch, train: bool) -> Dict[str, jnp.ndarray]:
         return self.appearance_encoder(self._encoder_input(batch),
                                        batch["rois_padded"], batch["node_mask"],
-                                       train=train)
+                                       train)
 
     def _vae_inputs(self, batch: Batch) -> Dict[str, jnp.ndarray]:
         """bg/fg VAE encoder stacks (dense_motion.py:170-203): for each
@@ -189,7 +200,7 @@ class C2MGenerator(nn.Module):
         src_rep, _ = fold_time(jnp.repeat(src[:, None], tpred, axis=1))
         flow, _ = fold_time(dense_bw["dense_motion"])
         occ, _ = fold_time(dense_bw["occlusion"])
-        gen = self.generator(src_rep, flow, occ, train=train)
+        gen = self.generator(src_rep, flow, occ, train)
         return unfold_time(gen, tpred)
 
     def _sparse_previews(self, batch: Batch, out: Dict[str, jnp.ndarray]
@@ -218,8 +229,8 @@ class C2MGenerator(nn.Module):
 
         vae_in = self._vae_inputs(batch)
         dtype = _dtype_of(cfg)
-        bg = self.motion_encoder_bg(vae_in["bg"].astype(dtype), train=train)
-        fg = self.motion_encoder_fg(vae_in["fg"].astype(dtype), train=train)
+        bg = self.motion_encoder_bg(vae_in["bg"].astype(dtype), train)
+        fg = self.motion_encoder_fg(vae_in["fg"].astype(dtype), train)
         mu = jnp.concatenate([bg["mu"], fg["mu"]], axis=-1).astype(jnp.float32)
         logvar = jnp.concatenate([bg["logvar"], fg["logvar"]],
                                  axis=-1).astype(jnp.float32)
@@ -249,21 +260,21 @@ class C2MGenerator(nn.Module):
         out.update(sparse)
 
         sparse_feats = self.sparse_feature_encoder(
-            sparse["sparse_motion_bw"].astype(dtype), train=train)
+            sparse["sparse_motion_bw"].astype(dtype), train)
         z = self._motion_code(z_m, app["app_encoded"])
         dense_bw = self.dense_generator_bw(app, sparse_feats,
                                            sparse["sparse_motion_bw"],
                                            sparse["sparse_occ_bw"], z,
-                                           train=train)
+                                           train)
         out["dense_motion_bw"] = dense_bw["dense_motion"]
         out["occlusion_bw"] = dense_bw["occlusion"]
         if tp.use_fw_of:
             sparse_feats_fw = self.sparse_feature_encoder(
-                sparse["sparse_motion_fw"].astype(dtype), train=train)
+                sparse["sparse_motion_fw"].astype(dtype), train)
             dense_fw = self.dense_generator_fw(app, sparse_feats_fw,
                                                sparse["sparse_motion_fw"],
                                                sparse["sparse_occ_fw"], z,
-                                               train=train)
+                                               train)
             out["dense_motion_fw"] = dense_fw["dense_motion"]
             out["occlusion_fw"] = dense_fw["occlusion"]
 
@@ -305,12 +316,12 @@ class C2MGenerator(nn.Module):
 
         dtype = _dtype_of(cfg)
         sparse_feats = self.sparse_feature_encoder(
-            sparse["sparse_motion_bw"].astype(dtype), train=False)
+            sparse["sparse_motion_bw"].astype(dtype), False)
         z = self._motion_code(z_m, app["app_encoded"])
         dense_bw = self.dense_generator_bw(app, sparse_feats,
                                            sparse["sparse_motion_bw"],
                                            sparse["sparse_occ_bw"], z,
-                                           train=False)
+                                           False)
         out["dense_motion_bw"] = dense_bw["dense_motion"]
         out["occlusion_bw"] = dense_bw["occlusion"]
         out["generated"] = self._generate_frames(batch, dense_bw, train=False)

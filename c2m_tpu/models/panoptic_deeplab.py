@@ -182,6 +182,8 @@ class ASPP(nn.Module):
         for i, r in enumerate(self.rates):
             branches.append(ConvBNRelu(self.out_channels, 3, padding=r,
                                        dilation=r, name=f"rate{i}")(x, train))
+        # image pooling branch: AdaptiveAvgPool(1) + conv(bias=False) + relu
+        # (NO BatchNorm, aspp.py:23-31); bilinear upsample of 1x1 == broadcast
         pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
         pooled = nn.relu(nn.Conv(self.out_channels, (1, 1), use_bias=False,
                                  name="pool_conv")(pooled))
@@ -231,6 +233,7 @@ class Head(nn.Module):
 
 class PanopticDeepLab(nn.Module):
     num_classes: int = 19
+    upsample: bool = True  # False: decoder-native (res2) resolution outputs
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
@@ -243,7 +246,10 @@ class PanopticDeepLab(nn.Module):
                              name="instance_decoder")(feats, train)
         center = Head(32, 1, name="center_head")(inst, train)
         offset = Head(32, 2, name="offset_head")(inst, train)
-        up = lambda v: resize_bilinear(v, (h, w), align_corners=True)
+        if self.upsample:
+            up = lambda v: resize_bilinear(v, (h, w), align_corners=True)
+        else:
+            up = lambda v: v
         return {"semantic": up(semantic), "center": up(center),
                 "offset": up(offset)}
 

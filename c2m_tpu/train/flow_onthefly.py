@@ -32,7 +32,7 @@ class OnTheFlyFlow:
 
     def _init(self, sample_frame: jnp.ndarray):
         import numpy as np
-        probe = jnp.zeros((1, *sample_frame.shape[1:3], 3))
+        probe = jnp.zeros((1, *sample_frame.shape[2:4], 3))
         self.variables = self.model.init(jax.random.PRNGKey(0), probe, probe)
         if self.weights_path:
             data = np.load(self.weights_path, allow_pickle=True)

@@ -36,10 +36,13 @@ class C2MTrainModel(nn.Module):
         cfg = self.cfg
         self.c2m = C2MGenerator(cfg, dataset=self.dataset)
         tp = cfg.train_params
+        # discriminators share C2MGenerator's remat policy (models/c2m.py)
+        disc_cls = (nn.remat(MultiScaleDiscriminator, static_argnums=(2,))
+                    if tp.remat else MultiScaleDiscriminator)
         if tp.use_image_discriminator:
-            self.netd_image = MultiScaleDiscriminator(cfg.model_params.discriminator)
+            self.netd_image = disc_cls(cfg.model_params.discriminator)
         if tp.use_video_discriminator:
-            self.netd_video = MultiScaleDiscriminator(cfg.model_params.discriminator)
+            self.netd_video = disc_cls(cfg.model_params.discriminator)
         if tp.loss_weights.perceptual > 0:
             self.vgg = Vgg19Features()
 
@@ -47,11 +50,11 @@ class C2MTrainModel(nn.Module):
                     train: bool):
         """compute_loss_d (model.py:101-122): D on real, D on detached fake,
         D on attached fake; LSGAN + feature matching."""
-        pred_real = netd(real, train=train)
-        pred_fake_det = netd(jax.lax.stop_gradient(fake), train=train)
+        pred_real = netd(real, train)
+        pred_fake_det = netd(jax.lax.stop_gradient(fake), train)
         d_real = gan_mse_loss(pred_real["prediction_map_0"], True)
         d_fake = gan_mse_loss(pred_fake_det["prediction_map_0"], False)
-        pred_fake = netd(fake, train=train)
+        pred_fake = netd(fake, train)
         g_gan = gan_mse_loss(pred_fake["prediction_map_0"], True)
         fm = feature_matching_loss(pred_real["feature_maps_0"],
                                    pred_fake["feature_maps_0"])

@@ -372,3 +372,56 @@ def test_i3d_converter_parity():
                                    x_j, endpoint="embedding"))
     scale = max(np.abs(out_t).max(), 1e-6)
     np.testing.assert_allclose(out_j / scale, out_t / scale, atol=1e-5)
+
+
+def test_panoptic_deeplab_full_converter_parity():
+    """Full Panoptic-DeepLab (backbone + ASPP decoders + heads) parity:
+    reference meta_arch (panoptic_deeplab.py:20) with the cityscapes_valset
+    HRNet-48 config values."""
+    add_ref_paths()
+    import torch.nn as tnn2
+    from segmentation.model.backbone.hrnet import hrnet48
+    from segmentation.model.meta_arch.panoptic_deeplab import \
+        PanopticDeepLab as TorchPanoptic
+    from tools.convert_panoptic import convert
+    from c2m_tpu.models.panoptic_deeplab import PanopticDeepLab
+
+    torch.manual_seed(12)
+    net = TorchPanoptic(
+        backbone=hrnet48(pretrained=False),
+        in_channels=384, feature_key="res5",
+        low_level_channels=(192, 96, 48),
+        low_level_key=["res4", "res3", "res2"],
+        low_level_channels_project=(128, 64, 32), decoder_channels=256,
+        atrous_rates=(3, 6, 9), num_classes=19,
+        semantic_loss=tnn2.CrossEntropyLoss(), semantic_loss_weight=1.0,
+        center_loss=tnn2.MSELoss(), center_loss_weight=1.0,
+        offset_loss=tnn2.L1Loss(), offset_loss_weight=1.0,
+        has_instance=True,
+        instance_low_level_channels_project=(64, 32, 16),
+        instance_decoder_channels=128, instance_head_channels=32,
+        instance_aspp_channels=256, instance_num_classes=(1, 2),
+        instance_class_key=["center", "offset"]).eval()
+    randomize_bn_stats(net, seed=13)
+    params, stats = convert(net.state_dict())
+
+    # compare at the decoder-native (res2, 1/4) resolution, exactly what the
+    # reference decoder emits
+    model = PanopticDeepLab(upsample=False)
+    x_t = torch.rand(1, 3, 64, 128)
+    x_j = jnp.asarray(to_nhwc(x_t))
+    init = model.init(jax.random.PRNGKey(0), x_j)
+    assert_same_structure(init["params"], params)
+    assert_same_structure(init["batch_stats"], stats)
+
+    with torch.no_grad():
+        feats = net.backbone(x_t)
+        out_t = net.decoder(feats)
+    out_j = model.apply({"params": params, "batch_stats": stats}, x_j)
+    for key in ("semantic", "center", "offset"):
+        want = out_t[key].numpy()
+        got = from_nhwc_out(out_j[key])
+        assert got.shape == want.shape, (key, got.shape, want.shape)
+        scale = max(np.abs(want).max(), 1e-6)
+        np.testing.assert_allclose(got / scale, want / scale, atol=2e-4,
+                                   err_msg=key)

@@ -62,3 +62,39 @@ def test_flownet2_shapes():
     flow, conf = compute_flow_and_conf(model.apply, variables, im, im)
     assert flow.shape == (1, 64, 64, 2)
     assert conf.shape == (1, 64, 64, 1)
+
+
+def test_onthefly_flow_with_converted_weights(tmp_path):
+    """OnTheFlyFlow end-to-end: random reference torch FlowNet2 -> converter
+    -> finite flows/occlusions with the trainer's batch contract
+    (reference Trainer.compute_flow, trainer.py:42-98)."""
+    torch = pytest.importorskip("torch")
+    from tests.ref_shims import add_ref_paths
+    add_ref_paths()
+    from modules.third_party.flow_net.flownet2.models import \
+        FlowNet2 as TorchFlowNet2
+    from tools.convert_flownet2 import convert
+    from c2m_tpu.train.flow_onthefly import OnTheFlyFlow
+
+    class _Args:
+        fp16 = False
+        rgb_max = 1.0
+
+    torch.manual_seed(14)
+    net = TorchFlowNet2(_Args(), use_batch_norm=False)
+    params = convert(net.state_dict())
+    path = tmp_path / "flownet2_rand.npz"
+    np.savez(path, params=np.asarray(params, dtype=object))
+
+    otf = OnTheFlyFlow(num_input_frames=1, num_predicted_frames=2,
+                       weights_path=str(path))
+    video = jnp.asarray(np.random.RandomState(0).rand(1, 3, 64, 64, 3)
+                        .astype(np.float32))
+    out = otf(video)
+    for key in ("target_bw_of", "target_fw_of"):
+        assert out[key].shape == (1, 2, 64, 64, 2), out[key].shape
+        assert np.isfinite(np.asarray(out[key])).all()
+    for key in ("target_bw_occ", "target_fw_occ"):
+        assert out[key].shape == (1, 2, 64, 64, 1)
+        o = np.asarray(out[key])
+        assert o.min() >= 0.0 and o.max() <= 1.0

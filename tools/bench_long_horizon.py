@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Long-horizon 512x1024 10-frame config (BASELINE.json config 5) on a real
+chip: memory fit + per-step train/inference timing at batch 1/chip (the
+v5p-16 config is 16 = 1/chip data-parallel; DP throughput scales linearly
+over ICI once the per-chip step fits — mesh.py's model axis stays reserved).
+
+Timing follows the value-fetch slope protocol (STATUS.md round-2 notes).
+
+  python tools/bench_long_horizon.py [--h 512 --w 1024 --tpred 10]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--h", type=int, default=512)
+    ap.add_argument("--w", type=int, default=1024)
+    ap.add_argument("--tpred", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--skip-train", action="store_true")
+    args = ap.parse_args()
+
+    from c2m_tpu.utils.jax_setup import setup_jax
+    setup_jax()
+    import jax
+    import jax.numpy as jnp
+    from c2m_tpu.config import Config
+    from c2m_tpu.data.synthetic import make_batch
+    from c2m_tpu.models.c2m import C2MGenerator
+    from c2m_tpu.train.model import C2MTrainModel
+    from c2m_tpu.train.state import create_train_state
+    from c2m_tpu.train.step import make_train_step
+
+    cfg = Config()
+    cfg.dataset_params.dataset = "synthetic"
+    cfg.dataset_params.max_objects = 24
+    cfg.train_params.input_size = [args.h, args.w]
+    cfg.train_params.num_predicted_frames = args.tpred
+    cfg.train_params.batch_size = args.batch
+    cfg.train_params.dtype = "bfloat16"
+    cfg.test_params.input_size = [args.h, args.w]
+    cfg.test_params.num_predicted_frames = args.tpred
+    # without remat the 512x1024 train step needs 38.4 GB (measured) vs
+    # 15.75 GB HBM; segment remat recomputes activations in the backward
+    cfg.train_params.remat = True
+    cfg.validate()
+
+    print(f"building batch {args.batch}x{args.h}x{args.w} tpred={args.tpred}",
+          flush=True)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg, seed=0).items()}
+    key = jax.random.PRNGKey(0)
+
+    # ---- inference -------------------------------------------------------
+    model = C2MGenerator(cfg)
+    t0 = time.time()
+    # jit the init: op-by-op init at 512x1024 holds every intermediate
+    # alive and OOMs the 16 GB chip; under jit XLA plans the memory
+    variables = jax.jit(lambda k: model.init(
+        {"params": k, "sample": k}, batch, train=False))(key)
+    print(f"init done in {time.time() - t0:.0f}s", flush=True)
+    click = jax.nn.one_hot(jnp.zeros((args.batch,), jnp.int32),
+                           cfg.dataset_params.max_objects)
+
+    def one(v, bt, z, c):
+        return model.apply(v, bt, z, c, method="inference",
+                           rngs={"sample": key})["generated"]
+
+    def make_fused(k):
+        @jax.jit
+        def fused(v, bt, c, seed):
+            acc = 0.0
+            for i in range(k):
+                z = jax.random.normal(jax.random.fold_in(seed, i),
+                                      (args.batch, 1024))
+                acc = acc + one(v, bt, z, c).mean()
+            return acc
+        return fused
+
+    f1, f3 = make_fused(1), make_fused(3)
+    t0 = time.time()
+    float(f1(variables, batch, click, key))
+    print(f"inference compile+run {time.time() - t0:.0f}s", flush=True)
+    float(f3(variables, batch, click, key))
+
+    def timed(fn, seed):
+        t0 = time.perf_counter()
+        float(fn(variables, batch, click, jax.random.PRNGKey(seed)))
+        return time.perf_counter() - t0
+
+    t1 = min(timed(f1, s) for s in (1, 2))
+    t3 = min(timed(f3, s) for s in (11, 12))
+    per = (t3 - t1) / 2
+    fps = args.batch * args.tpred / per
+    print(f"INFERENCE: {per * 1e3:.1f} ms / batch{args.batch} "
+          f"-> {fps:.1f} frames/s/chip", flush=True)
+
+    if args.skip_train:
+        return
+
+    # ---- train step ------------------------------------------------------
+    tm = C2MTrainModel(cfg)
+    t0 = time.time()
+    state = jax.jit(lambda k: create_train_state(cfg, tm, k, batch))(key)
+    print(f"train state init {time.time() - t0:.0f}s", flush=True)
+    step = make_train_step(cfg, donate=False)
+    t0 = time.time()
+    state1, metrics = step(state, batch, jax.random.PRNGKey(1))
+    tg = float(metrics["total_gen"])
+    print(f"train compile+step {time.time() - t0:.0f}s total_gen={tg:.3f}",
+          flush=True)
+    times = []
+    for s in (2, 3, 4):
+        t0 = time.perf_counter()
+        _, m = step(state1, batch, jax.random.PRNGKey(s))
+        float(m["total_gen"])
+        times.append(time.perf_counter() - t0)
+    # single-step timing incl. one RPC round trip; report min
+    print(f"TRAIN: {min(times) * 1e3:.0f} ms/step (batch {args.batch}, "
+          f"incl. ~1 RPC round trip)", flush=True)
+    print("LONG-HORIZON OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -10,9 +10,9 @@ Torch names (Bowen Cheng's implementation) -> flax scopes:
   backbone.stageS.M.fuse_layers.I.J(...) -> backbone/stage{S}_{M}/fuse_{I}_{J}(_{K})
   decoder/heads per models/panoptic_deeplab.py scope names.
 
-NOTE: unaudited against a real checkpoint (zero-egress environment); the
-mapping mirrors the module-definition correspondence and will raise on any
-unmapped key rather than silently skipping.
+Parity-tested against the reference torch modules with random weights
+(tests/test_converters.py); raises on any unmapped key rather than silently
+skipping.
 
   python tools/convert_panoptic.py --checkpoint panoptic_deeplab.pth --out p.npz
 """
@@ -21,15 +21,6 @@ import argparse
 import re
 
 import numpy as np
-
-_RULES = [
-    # (torch regex, flax scope template)
-    (r"backbone\.conv1\.weight", "backbone/stem1:conv"),
-    (r"backbone\.bn1\.(\w+)", "backbone/stem1:bn"),
-    (r"backbone\.conv2\.weight", "backbone/stem2:conv"),
-    (r"backbone\.bn2\.(\w+)", "backbone/stem2:bn"),
-]
-
 
 def _put(tree, scope, leaf, val):
     node = tree
@@ -100,6 +91,67 @@ def convert(sd):
             s, mod, i, j, kk, idx, leaf = m.groups()
             scope = (f"backbone/stage{s}_{mod}/fuse_{i}_{j}" if kk is None
                      else f"backbone/stage{s}_{mod}/fuse_{i}_{j}_{kk}")
+            emit(scope, "conv" if idx == "0" else "bn", leaf, arr)
+            continue
+        # ---- decoder (decoder/panoptic_deeplab.py + aspp.py + conv_module.py)
+        # ASPP branches: convs.0 = 1x1, convs.1-3 = dilated 3x3,
+        # convs.4 = image pooling (Sequential: pool, conv, bn)
+        m = re.match(r"(?:module\.)?decoder\.(semantic|instance)_decoder\.aspp"
+                     r"\.convs\.(\d)\.(?:aspp_pooling\.)?(\d)\.(\w+)", k)
+        if m:
+            which, branch, idx, leaf = m.groups()
+            b = int(branch)
+            if b == 4:   # image pooling: bare conv, no BN (aspp.py:23-31)
+                _put(params, f"{which}_decoder/aspp/pool_conv", "kernel",
+                     np.transpose(arr, (2, 3, 1, 0)))
+                continue
+            sub = "conv1x1" if b == 0 else f"rate{b - 1}"
+            emit(f"{which}_decoder/aspp/{sub}",
+                 "conv" if idx == "0" else "bn", leaf, arr)
+            continue
+        m = re.match(r"(?:module\.)?decoder\.(semantic|instance)_decoder\.aspp"
+                     r"\.project\.([01])\.(\w+)", k)
+        if m:
+            which, idx, leaf = m.groups()
+            emit(f"{which}_decoder/aspp/project",
+                 "conv" if idx == "0" else "bn", leaf, arr)
+            continue
+        m = re.match(r"(?:module\.)?decoder\.(semantic|instance)_decoder"
+                     r"\.project\.(\d)\.([01])\.(\w+)", k)
+        if m:
+            which, i, idx, leaf = m.groups()
+            emit(f"{which}_decoder/project_{i}",
+                 "conv" if idx == "0" else "bn", leaf, arr)
+            continue
+        # fuse.{i}.0 = depthwise_separable_conv: .0.{0,1}=dw conv+bn,
+        # .1=pw conv, .2=pw bn (conv_module.py:29-44)
+        m = re.match(r"(?:module\.)?decoder\.(semantic|instance)_decoder"
+                     r"\.fuse\.(\d)\.0\.(?:0\.([01])|([12]))\.(\w+)", k)
+        if m:
+            which, i, dw_idx, pw_idx, leaf = m.groups()
+            scope = f"{which}_decoder/fuse_{i}/" + ("dw" if dw_idx is not None
+                                                    else "pw")
+            idx = dw_idx if dw_idx is not None else ("0" if pw_idx == "1"
+                                                     else "1")
+            emit(scope, "conv" if idx == "0" else "bn", leaf, arr)
+            continue
+        # heads: classifier.<key> = Sequential(sep-conv stack, 1x1 Conv2d)
+        m = re.match(r"(?:module\.)?decoder\.(?:semantic|instance)_head"
+                     r"\.classifier\.(semantic|center|offset)"
+                     r"\.(?:0\.0\.(?:0\.([01])|([12]))|1)\.(\w+)", k)
+        if m:
+            key_name, dw_idx, pw_idx, leaf = m.groups()
+            head = f"{key_name}_head"
+            if dw_idx is None and pw_idx is None:   # final 1x1 Conv2d (".1.")
+                if leaf == "weight":
+                    _put(params, f"{head}/out", "kernel",
+                         np.transpose(arr, (2, 3, 1, 0)))
+                else:
+                    _put(params, f"{head}/out", "bias", arr)
+                continue
+            scope = f"{head}/conv/" + ("dw" if dw_idx is not None else "pw")
+            idx = dw_idx if dw_idx is not None else ("0" if pw_idx == "1"
+                                                     else "1")
             emit(scope, "conv" if idx == "0" else "bn", leaf, arr)
             continue
         unmapped.append(key)
