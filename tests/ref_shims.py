@@ -12,6 +12,16 @@ Some reference imports need substitutes in this environment:
   resample2d   -- CUDA extension; pixel-space border bilinear warp
                   (resample2d_kernel.cu:16-77).
   channelnorm  -- CUDA extension; per-pixel channel L2 norm.
+  torchvision  -- not installed; the inference path needs ops.roi_align
+                  (appearance_encoder.py:68) and transforms.{Compose,
+                  Normalize,ToTensor} objects built at import time; models.
+                  vgg19 is referenced only by the (inference-skipped) losses.
+  torch_geometric -- not installed; sparse_motion_estimator.py:3-4 needs
+                  GATv2Conv (faithful dense reimplementation of the PyG
+                  semantics: shared-source lin_l/lin_r, per-edge attention
+                  softmax over incoming edges, heads mean when concat=False)
+                  plus MessagePassing/Sequential placeholders for the
+                  reference's dead code paths.
 
 These shims are OUR implementations of the documented op semantics, written
 for the torch side of the parity harness only.
@@ -119,10 +129,186 @@ def _install_cuda_op_shims():
         sys.modules["channelnorm"] = mod
 
 
+def _install_torchvision_shim():
+    if "torchvision" in sys.modules:
+        return
+    import math
+
+    import torch
+    import torch.nn.functional as F
+
+    def roi_align(feats, boxes, output_size, spatial_scale=1.0,
+                  sampling_ratio=-1, aligned=False):
+        """torchvision.ops.roi_align semantics (aligned=False default):
+        boxes [K, 5] = (batch_idx, x1, y1, x2, y2); average of bilinear
+        samples on an adaptive sub-grid per output bin."""
+        if isinstance(output_size, int):
+            output_size = (output_size, output_size)
+        ph, pw = output_size
+        k = boxes.shape[0]
+        c = feats.shape[1]
+        out = feats.new_zeros(k, c, ph, pw)
+        for i in range(k):
+            b = int(boxes[i, 0].item())
+            x1, y1, x2, y2 = [v * spatial_scale for v in boxes[i, 1:].tolist()]
+            off = 0.5 if aligned else 0.0
+            x1, y1, x2, y2 = x1 - off, y1 - off, x2 - off, y2 - off
+            rw = max(x2 - x1, 1.0) if not aligned else (x2 - x1)
+            rh = max(y2 - y1, 1.0) if not aligned else (y2 - y1)
+            bin_w, bin_h = rw / pw, rh / ph
+            sx = sampling_ratio if sampling_ratio > 0 else max(
+                1, int(math.ceil(bin_w)))
+            sy = sampling_ratio if sampling_ratio > 0 else max(
+                1, int(math.ceil(bin_h)))
+            ys = y1 + (torch.arange(ph).repeat_interleave(sy) +
+                       (torch.arange(sy).repeat(ph) + 0.5) / sy) * bin_h
+            xs = x1 + (torch.arange(pw).repeat_interleave(sx) +
+                       (torch.arange(sx).repeat(pw) + 0.5) / sx) * bin_w
+            h, w = feats.shape[2:]
+            gy = (2.0 * ys / max(h - 1, 1) - 1.0).view(1, -1, 1)
+            gx = (2.0 * xs / max(w - 1, 1) - 1.0).view(1, 1, -1)
+            grid = torch.stack(torch.broadcast_tensors(
+                gx.expand(1, ys.numel(), xs.numel()),
+                gy.expand(1, ys.numel(), xs.numel())), dim=-1)
+            samp = F.grid_sample(feats[b:b + 1], grid, mode="bilinear",
+                                 padding_mode="zeros", align_corners=True)
+            samp = samp.view(c, ph, sy, pw, sx)
+            out[i] = samp.mean(dim=(2, 4))
+        return out
+
+    def roi_pool(feats, boxes, output_size, spatial_scale=1.0):
+        return roi_align(feats, boxes, output_size, spatial_scale,
+                         sampling_ratio=2)
+
+    class Compose:
+        def __init__(self, ts):
+            self.ts = ts
+
+        def __call__(self, x):
+            for t in self.ts:
+                x = t(x)
+            return x
+
+    class Normalize:
+        def __init__(self, mean, std):
+            self.mean, self.std = mean, std
+
+        def __call__(self, x):
+            m = torch.tensor(self.mean).view(-1, 1, 1)
+            s = torch.tensor(self.std).view(-1, 1, 1)
+            return (x - m) / s
+
+    class ToTensor:
+        def __call__(self, x):
+            import numpy as np
+            arr = np.asarray(x, dtype="float32") / 255.0
+            return torch.from_numpy(arr).permute(2, 0, 1) \
+                if arr.ndim == 3 else torch.from_numpy(arr)
+
+    tv = types.ModuleType("torchvision")
+    ops = types.ModuleType("torchvision.ops")
+    ops.roi_align, ops.roi_pool = roi_align, roi_pool
+    transforms = types.ModuleType("torchvision.transforms")
+    transforms.Compose, transforms.Normalize = Compose, Normalize
+    transforms.ToTensor = ToTensor
+    models = types.ModuleType("torchvision.models")
+
+    def _no_weights(*a, **k):
+        raise RuntimeError("torchvision shim: pretrained models unavailable "
+                           "(zero egress)")
+
+    models.vgg19 = _no_weights
+    models.inception_v3 = _no_weights
+    tv.ops, tv.transforms, tv.models = ops, transforms, models
+    for name, mod in (("torchvision", tv), ("torchvision.ops", ops),
+                      ("torchvision.transforms", transforms),
+                      ("torchvision.models", models)):
+        sys.modules[name] = mod
+
+
+def _install_pyg_shim():
+    if "torch_geometric" in sys.modules:
+        return
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    class GATv2Conv(tnn.Module):
+        """PyG GATv2Conv (share_weights=False): per-edge attention
+        a^T LeakyReLU(W_l x_src + W_r x_dst), softmax over each target's
+        incoming edges, message = alpha * (W_l x_src); heads averaged when
+        concat=False. Matches the configuration the reference uses
+        (sparse_motion_estimator.py:115-116)."""
+
+        def __init__(self, in_channels, out_channels, heads=1, concat=True,
+                     negative_slope=0.2, add_self_loops=True, bias=True,
+                     **kwargs):
+            super().__init__()
+            self.heads, self.out_channels = heads, out_channels
+            self.concat, self.neg = concat, negative_slope
+            self.add_self_loops = add_self_loops
+            self.lin_l = tnn.Linear(in_channels, heads * out_channels)
+            self.lin_r = tnn.Linear(in_channels, heads * out_channels,
+                                    bias=False)
+            self.att = tnn.Parameter(torch.empty(heads, out_channels))
+            tnn.init.xavier_uniform_(self.att)
+            self.bias = tnn.Parameter(torch.zeros(
+                heads * out_channels if concat else out_channels)) \
+                if bias else None
+
+        def forward(self, x, edge_index):
+            h, c = self.heads, self.out_channels
+            src, dst = edge_index[0].long(), edge_index[1].long()
+            if self.add_self_loops:
+                loops = torch.arange(x.shape[0], device=x.device)
+                src = torch.cat([src, loops])
+                dst = torch.cat([dst, loops])
+            xl = self.lin_l(x).view(-1, h, c)
+            xr = self.lin_r(x).view(-1, h, c)
+            e = F.leaky_relu(xl[src] + xr[dst], self.neg)
+            logit = (e * self.att).sum(-1)                       # [E, H]
+            # numerically-stable per-target softmax
+            mx = torch.full((x.shape[0], h), -1e30)
+            mx = mx.scatter_reduce(0, dst[:, None].expand_as(logit), logit,
+                                   reduce="amax", include_self=True)
+            a = (logit - mx[dst]).exp()
+            denom = torch.zeros(x.shape[0], h).index_add_(0, dst, a)
+            w = a / (denom[dst] + 1e-16)
+            out = torch.zeros(x.shape[0], h, c).index_add_(
+                0, dst, xl[src] * w.unsqueeze(-1))
+            out = out.reshape(-1, h * c) if self.concat else out.mean(1)
+            return out + self.bias if self.bias is not None else out
+
+    class MessagePassing(tnn.Module):
+        """Base-class placeholder: the reference only subclasses it in dead
+        code (C2MMessagePassing, sparse_motion_estimator.py:162-212)."""
+
+        def __init__(self, aggr="add", **kwargs):
+            super().__init__()
+            self.aggr = aggr
+
+        def propagate(self, *a, **k):
+            raise NotImplementedError("shim: dead code path")
+
+    def Sequential(*a, **k):
+        raise NotImplementedError("shim: only referenced by commented code")
+
+    pyg = types.ModuleType("torch_geometric")
+    pyg_nn = types.ModuleType("torch_geometric.nn")
+    pyg_nn.GATv2Conv = GATv2Conv
+    pyg_nn.MessagePassing = MessagePassing
+    pyg_nn.Sequential = Sequential
+    pyg.nn = pyg_nn
+    sys.modules["torch_geometric"] = pyg
+    sys.modules["torch_geometric.nn"] = pyg_nn
+
+
 def add_ref_paths():
     """Make the reference packages importable, with required shims."""
     _install_yacs()
     _install_cuda_op_shims()
+    _install_torchvision_shim()
+    _install_pyg_shim()
     for p in (f"{REF}/src", f"{REF}/pysot", f"{REF}/panoptic_deeplab"):
         if p not in sys.path:
             sys.path.append(p)

@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Measured PyTorch-reference baseline: full C2M inference on THIS CPU,
+reference torch implementation vs our JAX build, identical operating point
+(128x256, 1+5 frames, test batch 12 — c2m_journal_cityscapes.yaml:164-170).
+
+The reference publishes no numbers (BASELINE.md) and no GPU is available
+here, so this is the one same-hardware, apples-to-apples measurement that
+exists: it pins the *implementation* efficiency ratio (vectorized raster +
+fused XLA graph vs the reference's per-object Python loop + op-by-op eager
+execution) independent of the A100-vs-TPU hardware question.
+
+The reference model runs unmodified from /root/reference with shims ONLY for
+packages this image lacks (torchvision roi_align, torch_geometric GATv2Conv —
+tests/ref_shims.py), random weights (zero egress), eval mode, no_grad.
+
+Usage: JAX side forces the CPU backend; run on any host.
+Prints one JSON line with both numbers.
+"""
+
+import json
+import os
+import sys
+import time
+import types
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+BATCH = 12
+H, W = 128, 256
+T_IN, T_PRED = 1, 5
+N_OBJ = 8          # real tracked objects per sample
+ITERS = 3
+
+
+def build_reference_inputs(torch, yaml_cfg):
+    """Synthetic batch shaped exactly like the reference test loader output
+    (src/test.py:19-38 collate + src/datasets/cityscapes.py:301-326)."""
+    g = torch.Generator().manual_seed(0)
+    t = T_IN + T_PRED
+    video = torch.rand((BATCH, 3, t, H, W), generator=g)
+    bg = torch.zeros((BATCH, 11, t, H, W))
+    bg[:, 0] = 1.0
+    fg = torch.zeros((BATCH, 9, t, H, W))
+    inst = torch.zeros((BATCH, 1, t, H, W))
+    # N_OBJ rectangular instances per sample, ids 26001.. (car class 26)
+    n_total = BATCH * N_OBJ
+    rois = torch.zeros((n_total, T_IN, 4))
+    inst_ids = torch.zeros((n_total, T_IN))
+    for b in range(BATCH):
+        for k in range(N_OBJ):
+            iid = 26000 + k + 1
+            x1 = 16 + 28 * k
+            y1 = 24 + 8 * (k % 3)
+            x2, y2 = x1 + 24, y1 + 20
+            inst[b, 0, :, y1:y2, x1:x2] = iid
+            fg[b, 2, :, y1:y2, x1:x2] = 1.0
+            idx = b * N_OBJ + k
+            rois[idx, 0] = torch.tensor([x1, y1, x2, y2], dtype=torch.float)
+            inst_ids[idx, 0] = iid
+    input_of = torch.randn((BATCH, 2, T_IN, H, W), generator=g)
+    input_occ = torch.rand((BATCH, 1, T_IN, H, W), generator=g)
+
+    # fully-connected edge_index per graph, batch offsets
+    # (reference cityscapes.py:173-175)
+    edges = []
+    for b in range(BATCH):
+        off = b * N_OBJ
+        for i in range(N_OBJ):
+            for j in range(N_OBJ):
+                if i != j:
+                    edges.append((off + i, off + j))
+    edge_index = torch.tensor(edges, dtype=torch.long).T
+
+    # node features [cy, cx (norm -1..1), h, w, one-hot(19)]
+    # (reference cityscapes.py:143-145)
+    x = torch.zeros((n_total, 23))
+    x[:, 0] = (rois[:, 0, 1] + rois[:, 0, 3]) / H - 1.0
+    x[:, 1] = (rois[:, 0, 0] + rois[:, 0, 2]) / W - 1.0
+    x[:, 2] = (rois[:, 0, 3] - rois[:, 0, 1]) / H
+    x[:, 3] = (rois[:, 0, 2] - rois[:, 0, 0]) / W
+    x[:, 4 + 13] = 1.0  # car trainId 13
+    targets_theta = torch.zeros((n_total, T_PRED, 6))
+    targets_theta[:, :, 0] = 1.0
+    targets_theta[:, :, 4] = 1.0
+    targets_theta[:, :, 2] = torch.linspace(
+        0.01, 0.05, T_PRED)[None].repeat(n_total, 1)
+
+    gnn = types.SimpleNamespace(
+        x=x,
+        edge_index=edge_index,
+        targets_theta=targets_theta,
+        batch=torch.arange(BATCH).repeat_interleave(N_OBJ),
+        num_nodes=n_total,
+        num_real_nodes=torch.full((BATCH,), N_OBJ, dtype=torch.long),
+        source_frames_nodes_roi_padded=rois,
+        source_frames_nodes_instance_ids=inst_ids,
+    )
+    return dict(video=video, bg_mask=bg, fg_mask=fg, instance_mask=inst,
+                input_of=input_of, input_occ=input_occ, tracking_gnn=gnn)
+
+
+def bench_reference():
+    import torch
+
+    from tests.ref_shims import add_ref_paths
+    add_ref_paths()
+    import yaml
+    with open("/root/reference/src/config/c2m_journal_cityscapes.yaml") as f:
+        cfg = yaml.safe_load(f)
+    from modules.model import GeneratorFullModel
+    test_params = cfg["test_params"]
+    model_params = cfg["model_params"]
+    model_params["generator"].setdefault("use_spade", False)  # SURVEY §2.1 quirk
+    torch.manual_seed(0)
+    c2m = GeneratorFullModel(train_params=test_params,
+                             model_params=model_params, is_inference=True,
+                             dataset=cfg["dataset_params"]["dataset"])
+    c2m.eval()
+    inputs = build_reference_inputs(torch, cfg)
+    iug = torch.zeros((BATCH,), dtype=torch.long)
+    iug += torch.arange(BATCH) * N_OBJ  # first node of each graph
+    z_m = torch.randn((BATCH, 1024))
+
+    times = []
+    with torch.no_grad():
+        for i in range(ITERS + 1):
+            t0 = time.perf_counter()
+            out = c2m.inference(inputs["video"], inputs["bg_mask"],
+                                inputs["fg_mask"], inputs["instance_mask"],
+                                inputs["input_of"], inputs["input_occ"],
+                                inputs["tracking_gnn"], iug, z_m)
+            assert out["generated"].shape[0] == BATCH
+            dt = time.perf_counter() - t0
+            if i > 0:  # drop the first (allocator warmup)
+                times.append(dt)
+            print(f"  reference iter {i}: {dt:.2f} s", file=sys.stderr,
+                  flush=True)
+    return min(times)
+
+
+def bench_ours():
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_platforms", "cpu")
+
+    from __graft_entry__ import _flagship_cfg
+    from c2m_tpu.data.synthetic import make_batch
+    from c2m_tpu.models.c2m import C2MGenerator
+
+    cfg = _flagship_cfg(h=H, w=W, batch=BATCH, max_objects=N_OBJ,
+                        dtype="float32")  # fp32 CPU, same as torch
+    model = C2MGenerator(cfg)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg, seed=0).items()}
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "sample": key}, batch, train=False)
+    click = jax.nn.one_hot(jnp.zeros((BATCH,), jnp.int32), N_OBJ)
+
+    @jax.jit
+    def infer(v, bt, z):
+        return model.apply(v, bt, z, click, method="inference",
+                           rngs={"sample": key})["generated"]
+
+    times = []
+    for i in range(ITERS + 1):
+        z = jax.random.normal(jax.random.PRNGKey(i), (BATCH, 1024))
+        t0 = time.perf_counter()
+        infer(variables, batch, z).block_until_ready()  # real CPU: sync works
+        dt = time.perf_counter() - t0
+        if i > 0:  # drop compile
+            times.append(dt)
+        print(f"  ours iter {i}: {dt:.2f} s", file=sys.stderr, flush=True)
+    return min(times)
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    out = {"batch": BATCH, "hw": f"{H}x{W}", "frames": BATCH * T_PRED,
+           "host": "1-core CPU, fp32, eval/no_grad vs jit"}
+    if which in ("both", "reference"):
+        t_ref = bench_reference()
+        out["reference_torch_s_per_batch"] = round(t_ref, 3)
+        out["reference_torch_frames_per_sec"] = round(BATCH * T_PRED / t_ref, 3)
+    if which in ("both", "ours"):
+        t_ours = bench_ours()
+        out["c2m_tpu_jax_s_per_batch"] = round(t_ours, 3)
+        out["c2m_tpu_jax_frames_per_sec"] = round(BATCH * T_PRED / t_ours, 3)
+    if which == "both":
+        out["speedup_same_cpu"] = round(t_ref / t_ours, 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
