@@ -56,7 +56,10 @@ def main():
                            cfg.dataset_params.max_objects)
 
     def one(v, bt, z, c):
-        return model.apply(v, bt, z, c, method="inference",
+        # use_gt_eval=True is the reference's test-time setting
+        # (c2m_journal_cityscapes.yaml:170): the raster composes GT thetas
+        # (axis-aligned -> the separable MXU path); the GNN still runs.
+        return model.apply(v, bt, z, c, True, method="inference",
                            rngs={"sample": key})["generated"]
 
     def make_fused(k):
@@ -64,9 +67,21 @@ def main():
         def fused(v, bt, c, seed):
             acc = 0.0
             for i in range(k):
-                z = jax.random.normal(jax.random.fold_in(seed, i),
-                                      (BATCH, 1024))
-                acc = acc + one(v, bt, z, c).mean()
+                s = jax.random.fold_in(seed, i)
+                z = jax.random.normal(s, (BATCH, 1024))
+                # vary the conditioning per call: every iteration is a FULL
+                # fresh-request inference — without this, XLA CSE dedups the
+                # batch-dependent front end (appearance/raster/splat) across
+                # the unrolled loop and the bench only times the z-dependent
+                # tail (the round-1/round-2 numbers had that flaw).
+                bt_i = dict(bt)
+                bt_i["video"] = bt["video"] + jax.random.uniform(
+                    s, (), dtype=bt["video"].dtype, maxval=1e-3)
+                # ...and the click targets, so the raster/splat front end
+                # is also fresh per request
+                bt_i["targets_theta"] = bt["targets_theta"].at[..., 2].add(
+                    jax.random.uniform(s, (), maxval=1e-4))
+                acc = acc + one(v, bt_i, z, c).mean()
             return acc
         return fused
 

@@ -203,15 +203,27 @@ class C2MGenerator(nn.Module):
         gen = self.generator(src_rep, flow, occ, train)
         return unfold_time(gen, tpred)
 
-    def _sparse_previews(self, batch: Batch, out: Dict[str, jnp.ndarray]
-                         ) -> Dict[str, jnp.ndarray]:
-        """Sparse-warp previews (model.py:203-211) — viz streams."""
+    def _sparse_previews(self, batch: Batch, out: Dict[str, jnp.ndarray],
+                         raster_thetas: Optional[jnp.ndarray] = None,
+                         axis_aligned: bool = False) -> Dict[str, jnp.ndarray]:
+        """Sparse-warp previews (model.py:203-211) — viz streams.
+
+        With axis-aligned thetas (use_gt_training / use_gt_eval, the
+        reference's operating points) the full-res warp runs as per-object
+        separable matmuls composed by the raster's winner map — identical
+        result, no XLA gather (ops/raster.warp_video_separable)."""
         tp = self.cfg.train_params
         tpred = tp.num_predicted_frames
         src = batch["video"][:, tp.num_input_frames - 1]
-        src_rep, _ = fold_time(jnp.repeat(src[:, None], tpred, axis=1))
-        sm, _ = fold_time(jax.lax.stop_gradient(out["sparse_motion_bw"]))
-        warped = unfold_time(resample(src_rep, sm), tpred)
+        if axis_aligned and raster_thetas is not None and "winner_bw" in out:
+            from c2m_tpu.ops.raster import warp_video_separable
+            warped = warp_video_separable(
+                src, jax.lax.stop_gradient(raster_thetas).astype(jnp.float32),
+                out["winner_bw"])
+        else:
+            src_rep, _ = fold_time(jnp.repeat(src[:, None], tpred, axis=1))
+            sm, _ = fold_time(jax.lax.stop_gradient(out["sparse_motion_bw"]))
+            warped = unfold_time(resample(src_rep, sm), tpred)
         return {
             "generated_sparse": jax.lax.stop_gradient(warped),
             "generated_sparse_occ": warped * out["sparse_occ_bw"],
@@ -279,7 +291,8 @@ class C2MGenerator(nn.Module):
             out["occlusion_fw"] = dense_fw["occlusion"]
 
         out["generated"] = self._generate_frames(batch, dense_bw, train)
-        out.update(self._sparse_previews(batch, out))
+        out.update(self._sparse_previews(batch, out, raster_thetas,
+                                         axis_aligned=tp.use_gt_training))
         return out
 
     # -- inference ----------------------------------------------------------
@@ -325,5 +338,6 @@ class C2MGenerator(nn.Module):
         out["dense_motion_bw"] = dense_bw["dense_motion"]
         out["occlusion_bw"] = dense_bw["occlusion"]
         out["generated"] = self._generate_frames(batch, dense_bw, train=False)
-        out.update(self._sparse_previews(batch, out))
+        out.update(self._sparse_previews(batch, out, raster_thetas,
+                                         axis_aligned=use_gt_eval))
         return out

@@ -105,7 +105,8 @@ def generate_sparse_motion(instance: jnp.ndarray,
                            node_mask: jnp.ndarray,
                            thetas: jnp.ndarray,
                            compute_fw: bool = True,
-                           axis_aligned: bool = False) -> Dict[str, jnp.ndarray]:
+                           axis_aligned: bool = False,
+                           use_pallas: bool = None) -> Dict[str, jnp.ndarray]:
     """Rasterize per-object affine motions into sparse flow fields.
 
     Args:
@@ -135,8 +136,17 @@ def generate_sparse_motion(instance: jnp.ndarray,
     obj_f = obj.astype(dtype)
 
     # Warp every object mask by its per-timestep affine: [B, N, T, H, W].
+    interior_eps = _INTERIOR_EPS
     if axis_aligned:
         warped = _warp_masks_separable(obj_f, thetas)
+    elif (use_pallas if use_pallas is not None
+          else (jax.default_backend() == "tpu" and w % 128 == 0
+                and h % 8 == 0)):
+        # gather-free MXU hat-contraction kernel; identical math, but the
+        # interior test needs headroom for f32 matmul accumulation order
+        from c2m_tpu.ops.pallas import maskwarp_kernel
+        warped = maskwarp_kernel.warp_masks(obj_f, thetas)
+        interior_eps = 1e-4
     else:
         def warp_one(mask_hw, theta6):
             grid = affine_grid(_theta_rows(theta6), h, w)
@@ -146,19 +156,21 @@ def generate_sparse_motion(instance: jnp.ndarray,
         warp_nt = jax.vmap(jax.vmap(warp_one, in_axes=(None, 0)),
                            in_axes=(0, 0))
         warped = jax.vmap(warp_nt)(obj_f, thetas)                      # [B, N, T, H, W]
-    covered = warped >= (1.0 - _INTERIOR_EPS)
+    covered = warped >= (1.0 - interior_eps)
     covered = covered & valid[:, :, None, None, None]
 
     node_rank = jnp.arange(1, n + 1, dtype=jnp.int32)[None, :, None, None, None]
     winner_bw = jnp.max(jnp.where(covered, node_rank, 0), axis=1)      # [B, T, H, W]
 
-    # Gather the winning node's theta per pixel, evaluate its flow pointwise.
+    # Select the winning node's theta per pixel via a one-hot contraction
+    # over the (tiny) node axis — a per-pixel N-way select the TPU runs as
+    # dense math; jnp.take_along_axis lowers to an XLA gather that is >10x
+    # slower at these shapes (tools/bench_resample_variants.py).
     win_idx = jnp.maximum(winner_bw - 1, 0)                            # [B, T, H, W]
     theta_txy = jnp.transpose(thetas, (0, 2, 1, 3))                    # [B, T, N, 6]
-    theta_win = jnp.take_along_axis(
-        theta_txy[:, :, :, None, None, :],
-        win_idx[:, :, None, :, :, None],
-        axis=2)[:, :, 0]                                               # [B, T, H, W, 6]
+    node_iota = jnp.arange(n, dtype=jnp.int32)
+    onehot_bw = (win_idx[..., None] == node_iota).astype(dtype)        # [B, T, H, W, N]
+    theta_win = jnp.einsum("bthwn,btnc->bthwc", onehot_bw, theta_txy)  # [B, T, H, W, 6]
     flow_all = _pointwise_affine_flow(theta_win, h, w)                 # [B, T, H, W, 2]
     has_bw = (winner_bw > 0)[..., None]
     sparse_bw = jnp.where(has_bw, flow_all, 0.0)
@@ -171,10 +183,8 @@ def generate_sparse_motion(instance: jnp.ndarray,
                   jnp.arange(1, n + 1, dtype=jnp.int32)[None, :, None, None], 0),
         axis=1)                                                        # [B, H, W]
     winf_idx = jnp.maximum(winner_fw - 1, 0)
-    theta_win_fw = jnp.take_along_axis(
-        theta_txy[:, :, :, None, None, :],
-        jnp.broadcast_to(winf_idx[:, None, None, :, :, None], (b, t, 1, h, w, 1)),
-        axis=2)[:, :, 0]
+    onehot_fw = (winf_idx[..., None] == node_iota).astype(dtype)       # [B, H, W, N]
+    theta_win_fw = jnp.einsum("bhwn,btnc->bthwc", onehot_fw, theta_txy)
     flow_fw_all = _pointwise_affine_flow(theta_win_fw, h, w)
     has_fw = (winner_fw > 0)[:, None, :, :, None]
     sparse_fw = jnp.where(has_fw, -flow_fw_all, 0.0)
@@ -191,7 +201,70 @@ def generate_sparse_motion(instance: jnp.ndarray,
         "sparse_motion_bin": jax.lax.stop_gradient(sparse_bin),
         "sparse_occ_bw": jax.lax.stop_gradient(occ_bw),
         "sparse_occ_fw": jax.lax.stop_gradient(occ_fw),
+        # winner node per pixel (0 = background): lets consumers rebuild
+        # piecewise-affine warps without re-gathering (see
+        # warp_video_separable)
+        "winner_bw": jax.lax.stop_gradient(winner_bw),
     }
     if compute_fw:
         out["sparse_motion_fw"] = jax.lax.stop_gradient(sparse_fw)
+    return out
+
+
+def warp_video_separable(src: jnp.ndarray, thetas: jnp.ndarray,
+                         winner: jnp.ndarray) -> jnp.ndarray:
+    """Warp a frame by the rasterized sparse flow — exactly
+    ``resample(src_rep, sparse_motion_bw)`` — as per-object separable
+    matmuls composed by the winner map. Valid for axis-aligned thetas
+    (the reference's test-time setting, use_gt_eval=True).
+
+    The composite of the rasterizer's flow convention with ``resample``'s
+    sampling convention collapses to plain acf-grid sampling of the object's
+    affine: sx = ((gx+1)W-1)/2 with gx = t0*bx_acf + t2 — so each object's
+    warp is two interpolation-matrix matmuls (border semantics = clamped
+    sample positions), and background pixels take the identity affine
+    (resample at zero flow is NOT the identity under the reference's mixed
+    align_corners conventions — the identity-theta warp reproduces it).
+
+    src: [B, H, W, C]; thetas: [B, N, T, 6]; winner: [B, T, H, W] int
+    (0 = background) -> [B, T, H, W, C]. Avoids the full-res XLA gather
+    (measured ~2 GB/s effective — tools/bench_resample_variants.py).
+    """
+    b, h, w, c = src.shape
+    n, t = thetas.shape[1:3]
+    dtype = src.dtype
+
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    bx = (2.0 * xs + 1.0) / w - 1.0
+    by = (2.0 * ys + 1.0) / h - 1.0
+    gx = thetas[..., 0, None] * bx + thetas[..., 2, None]  # [B, N, T, W]
+    gy = thetas[..., 4, None] * by + thetas[..., 5, None]  # [B, N, T, H]
+    px_obj = ((gx + 1.0) * w - 1.0) * 0.5
+    py_obj = ((gy + 1.0) * h - 1.0) * 0.5
+    # background = resample at zero flow, which under the reference's mixed
+    # align_corners conventions is sx = x*W/(W-1) - 0.5 (NOT the identity)
+    px_bg = jnp.broadcast_to(xs * (w / max(w - 1.0, 1e-6)) - 0.5,
+                             (b, 1, t, w))
+    py_bg = jnp.broadcast_to(ys * (h / max(h - 1.0, 1e-6)) - 0.5,
+                             (b, 1, t, h))
+    px = jnp.clip(jnp.concatenate([px_bg, px_obj], axis=1), 0.0, w - 1.0)
+    py = jnp.clip(jnp.concatenate([py_bg, py_obj], axis=1), 0.0, h - 1.0)
+
+    def per_node(acc_and_idx, k_pair):
+        acc, idx = acc_and_idx
+        kx, ky = k_pair                                    # [B,T,W,W], [B,T,H,H]
+        tmp = jnp.einsum("bjic,btxi->btjxc", src, kx,
+                         preferred_element_type=jnp.float32)
+        wn = jnp.einsum("btyj,btjxc->btyxc", ky, tmp,
+                        preferred_element_type=jnp.float32).astype(dtype)
+        acc = jnp.where((winner == idx)[..., None], wn, acc)
+        return (acc, idx + 1), None
+
+    kx_all = _interp_matrix(px, w).astype(dtype)           # [B, N+1, T, W, W]
+    ky_all = _interp_matrix(py, h).astype(dtype)
+    init = jnp.zeros((b, t, h, w, c), dtype)
+    (out, _), _ = jax.lax.scan(
+        per_node, (init, jnp.int32(0)),
+        (jnp.moveaxis(kx_all, 1, 0), jnp.moveaxis(ky_all, 1, 0)))
     return out

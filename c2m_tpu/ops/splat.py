@@ -18,6 +18,8 @@ stop_gradient so the op is off the autodiff path entirely.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -61,12 +63,16 @@ def corresponding_map(coords: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(b, h, w, 1)
 
 
-@jax.jit
-def occlusion_map(flow: jnp.ndarray) -> jnp.ndarray:
+def occlusion_map(flow: jnp.ndarray, use_pallas: Optional[bool] = None
+                  ) -> jnp.ndarray:
     """Soft occlusion map from a flow field (reference ops.py:263-275).
 
     flow: [B, H, W, 2] pixels -> [B, H, W, 1] in [0, 1]; 0 = occluded.
     Non-differentiable by design (reference computes it under no_grad).
+
+    On TPU the splat runs as the gather/scatter-free MXU hat-contraction
+    kernel (ops/pallas/splat_kernel.py — numerically identical, fp32);
+    elsewhere (and under interpret-mode tests) the XLA scatter-add path.
     """
     flow = jax.lax.stop_gradient(flow)
     b, h, w, _ = flow.shape
@@ -74,7 +80,15 @@ def occlusion_map(flow: jnp.ndarray) -> jnp.ndarray:
     ys = jnp.arange(h, dtype=flow.dtype)
     base = jnp.stack([jnp.broadcast_to(xs[None, :], (h, w)),
                       jnp.broadcast_to(ys[:, None], (h, w))], axis=-1)
-    corr = corresponding_map(base[None] + flow)
+    coords = base[None] + flow
+    if use_pallas is None:
+        # lane-aligned maps only; anything else takes the scatter path
+        use_pallas = jax.default_backend() == "tpu" and w % 128 == 0
+    if use_pallas:
+        from c2m_tpu.ops.pallas import splat_kernel
+        corr = splat_kernel.corresponding_map(coords)
+    else:
+        corr = corresponding_map(coords)
     return jnp.clip(corr, 0.0, 1.0)
 
 

@@ -107,7 +107,67 @@ def resample(image: jnp.ndarray, flow: jnp.ndarray, use_pallas: Optional[bool] =
     if use_pallas:
         from c2m_tpu.ops.pallas import warp_kernels
         return warp_kernels.resample(image, flow)
+    if jax.default_backend() == "tpu" and _onehot_supported(image):
+        # XLA TPU lowers the 4-corner gather as a ~45M-indices/s scalar loop
+        # (2-18 GB/s effective); the hat-matmul contraction below is exact
+        # and 7-13x faster at the decoder/generator shapes (measured,
+        # tools/bench_resample_variants.py). Larger maps keep the gather.
+        return _resample_onehot(image, flow)
     return _resample_jnp(image, flow)
+
+
+def _onehot_supported(image: jnp.ndarray) -> bool:
+    """Exactness + win region for the hat-matmul resample: row bands cover
+    the whole source height (band d = H), affordable for short maps."""
+    if image.ndim != 4:
+        return False
+    h = image.shape[1]
+    return h <= 64 and h % 8 == 0
+
+
+def _resample_onehot(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Exact bilinear warp as two hat-weight contractions (MXU-native).
+
+    out[p, c] = sum_y hat(sy_p - y) * sum_x hat(sx_p - x) * img[y, x, c]:
+    the hats over the integer grid ARE the bilinear corner weights, and the
+    pre-clamped coords make it border-padded. The y-contraction runs per
+    8-row output band against the full (padded) source height, so it is
+    exact for arbitrary flows — same math, same result as _resample_jnp,
+    without XLA's scalar-loop gather.
+    """
+    b, h, w, c = image.shape
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    wf = w / max(w - 1.0, 1e-6)
+    hf = h / max(h - 1.0, 1e-6)
+    sx = jnp.clip((xs[None, None, :] + flow[..., 0].astype(jnp.float32))
+                  * wf - 0.5, 0.0, w - 1.0)
+    sy = jnp.clip((ys[None, :, None] + flow[..., 1].astype(jnp.float32))
+                  * hf - 0.5, 0.0, h - 1.0)
+
+    bh = 8
+    d = h                     # full-height coverage -> exact for any flow
+    rows = bh + 2 * d
+    pad = jnp.pad(image, ((0, 0), (d, d), (0, 0), (0, 0)))
+
+    def band_out(bi):
+        r0 = bi * bh
+        slab = jax.lax.dynamic_slice(pad, (0, r0, 0, 0), (b, rows, w, c))
+        sy_b = jax.lax.dynamic_slice(sy, (0, r0, 0), (b, bh, w))
+        sx_b = jax.lax.dynamic_slice(sx, (0, r0, 0), (b, bh, w))
+        yy = (jnp.arange(rows, dtype=jnp.float32) + (r0 - d))[None, None, :]
+        haty = jnp.maximum(0.0, 1.0 - jnp.abs(
+            sy_b.reshape(b, bh * w, 1) - yy)).astype(image.dtype)
+        tmp = jnp.einsum("bpr,brwc->bpwc", haty, slab,
+                         preferred_element_type=jnp.float32)
+        xx = xs[None, None, :]
+        hatx = jnp.maximum(0.0, 1.0 - jnp.abs(
+            sx_b.reshape(b, bh * w, 1) - xx)).astype(tmp.dtype)
+        out = jnp.einsum("bpw,bpwc->bpc", hatx, tmp)
+        return out.reshape(b, bh, w, c).astype(image.dtype)
+
+    outs = jax.lax.map(band_out, jnp.arange(h // bh))
+    return jnp.moveaxis(outs, 0, 1).reshape(b, h, w, c)
 
 
 @jax.jit

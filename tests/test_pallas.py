@@ -77,3 +77,138 @@ def test_resample_use_pallas_flag(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(warp.resample(img, flow, use_pallas=True)),
         np.asarray(warp.resample(img, flow, use_pallas=False)), atol=1e-5)
+
+
+def test_splat_kernel_matches_scatter():
+    """MXU hat-contraction splat (ops/pallas/splat_kernel.py) == the XLA
+    scatter-add path, including out-of-image drops and border partial mass.
+    Interpret mode on CPU; parity + perf on the real v5e in STATUS.md."""
+    from unittest import mock
+    from jax.experimental import pallas as pl
+    import c2m_tpu.ops.pallas.splat_kernel as sk
+    from c2m_tpu.ops import splat
+
+    rng = np.random.RandomState(7)
+    flow = jnp.asarray((rng.rand(3, 16, 128, 2) * 20 - 10).astype(np.float32))
+    ref = splat.occlusion_map(flow, use_pallas=False)
+
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    with mock.patch.object(pl, "pallas_call", interp_call):
+        got = splat.occlusion_map(flow, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_splat_kernel_nonmultiple_chunk():
+    """Point-count padding (P % 2048 != 0) contributes zero mass."""
+    from unittest import mock
+    from jax.experimental import pallas as pl
+    from c2m_tpu.ops import splat
+
+    rng = np.random.RandomState(8)
+    flow = jnp.asarray((rng.rand(2, 9, 130, 2) * 6 - 3).astype(np.float32))
+    ref = splat.occlusion_map(flow, use_pallas=False)
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    with mock.patch.object(pl, "pallas_call", interp_call):
+        got = splat.occlusion_map(flow, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_maskwarp_kernel_matches_gather():
+    """General-affine mask warp (ops/pallas/maskwarp_kernel.py) == the
+    vmapped grid_sample gather path (zeros padding), shears included."""
+    from unittest import mock
+    from jax.experimental import pallas as pl
+    import c2m_tpu.ops.pallas.maskwarp_kernel as mw
+    from c2m_tpu.ops.warp import affine_grid, grid_sample_normalized
+
+    rng = np.random.RandomState(11)
+    b, n, t, h, w = 2, 3, 2, 16, 128
+    obj = (rng.rand(b, n, h, w) > 0.7).astype(np.float32)
+    th = np.zeros((b, n, t, 6), np.float32)
+    th[..., 0] = 1 + rng.randn(b, n, t) * 0.1
+    th[..., 4] = 1 + rng.randn(b, n, t) * 0.1
+    th[..., 1] = rng.randn(b, n, t) * 0.05
+    th[..., 3] = rng.randn(b, n, t) * 0.05
+    th[..., 2] = rng.randn(b, n, t) * 0.2
+    th[..., 5] = rng.randn(b, n, t) * 0.2
+
+    def warp_one(mask_hw, theta6):
+        grid = affine_grid(theta6.reshape(2, 3), h, w)
+        return grid_sample_normalized(mask_hw[..., None], grid,
+                                      padding="zeros")[..., 0]
+
+    ref = jax.vmap(jax.vmap(jax.vmap(warp_one, in_axes=(None, 0)),
+                            in_axes=(0, 0)), in_axes=(0, 0))(
+        jnp.asarray(obj), jnp.asarray(th))
+
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    with mock.patch.object(pl, "pallas_call", interp_call):
+        got = mw.warp_masks(jnp.asarray(obj), jnp.asarray(th))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_raster_pallas_path_matches_gather_path():
+    """generate_sparse_motion(use_pallas=True) == the gather path end-to-end
+    (winner composition, flows, occlusion) on a general-affine raster."""
+    from unittest import mock
+    from jax.experimental import pallas as pl
+    from c2m_tpu.ops.raster import generate_sparse_motion
+
+    rng = np.random.RandomState(12)
+    b, n, t, h, w = 2, 4, 3, 16, 128
+    inst = np.zeros((b, h, w, 1), np.float32)
+    ids = np.zeros((b, n), np.int32)
+    for bi in range(b):
+        for k in range(n):
+            x1, y1 = 8 + 24 * k, 2 + 3 * k
+            inst[bi, y1:y1 + 6, x1:x1 + 12, 0] = 100 + k
+            ids[bi, k] = 100 + k
+    th = np.zeros((b, n, t, 6), np.float32)
+    th[..., 0] = 1 + rng.randn(b, n, t) * 0.05
+    th[..., 4] = 1 + rng.randn(b, n, t) * 0.05
+    th[..., 1] = rng.randn(b, n, t) * 0.03
+    th[..., 2] = rng.randn(b, n, t) * 0.1
+    th[..., 5] = rng.randn(b, n, t) * 0.1
+    mask = np.ones((b, n), bool)
+
+    args = (jnp.asarray(inst), jnp.asarray(ids), jnp.asarray(mask),
+            jnp.asarray(th))
+    ref = generate_sparse_motion(*args, compute_fw=True, use_pallas=False)
+
+    orig = pl.pallas_call
+
+    def interp_call(*args_, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args_, **kwargs)
+
+    with mock.patch.object(pl, "pallas_call", interp_call):
+        got = generate_sparse_motion(*args, compute_fw=True, use_pallas=True)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   atol=1e-4, err_msg=k)
+
+def test_resample_onehot_matches_jnp():
+    """The MXU hat-matmul resample path (ops/warp._resample_onehot) is exact
+    vs the golden-tested gather path, arbitrary (large) flows included."""
+    from c2m_tpu.ops.warp import _resample_jnp, _resample_onehot
+
+    rng = np.random.RandomState(21)
+    img = jnp.asarray(rng.rand(3, 32, 64, 5).astype(np.float32))
+    flow = jnp.asarray((rng.rand(3, 32, 64, 2) * 80 - 40).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(_resample_onehot(img, flow)),
+                               np.asarray(_resample_jnp(img, flow)), atol=1e-5)

@@ -174,3 +174,41 @@ def test_separable_matches_gather_path():
                 "sparse_occ_bw", "sparse_occ_fw"):
         np.testing.assert_allclose(np.asarray(fast[key]), np.asarray(ref[key]),
                                    atol=1e-4, err_msg=key)
+
+
+def test_warp_video_separable_matches_resample():
+    """Preview fast path: per-object separable warps composed by the winner
+    map == resample(src, sparse_motion_bw) exactly (axis-aligned thetas,
+    border semantics, identity-affine background)."""
+    import jax.numpy as jnp
+    from c2m_tpu.ops.raster import generate_sparse_motion, warp_video_separable
+    from c2m_tpu.ops.warp import resample
+
+    rng = np.random.RandomState(31)
+    b, n, t, h, w, c = 2, 4, 3, 16, 32, 3
+    inst = np.zeros((b, h, w, 1), np.float32)
+    ids = np.zeros((b, n), np.int32)
+    for bi in range(b):
+        for k in range(n):
+            x1, y1 = 2 + 7 * k, 2 + 3 * k
+            inst[bi, y1:y1 + 5, x1:x1 + 6, 0] = 50 + k
+            ids[bi, k] = 50 + k
+    th = np.zeros((b, n, t, 6), np.float32)
+    th[..., 0] = 1 + rng.randn(b, n, t) * 0.1
+    th[..., 4] = 1 + rng.randn(b, n, t) * 0.1
+    th[..., 2] = rng.randn(b, n, t) * 0.2
+    th[..., 5] = rng.randn(b, n, t) * 0.2
+    mask = np.ones((b, n), bool)
+    src = rng.rand(b, h, w, c).astype(np.float32)
+
+    sparse = generate_sparse_motion(jnp.asarray(inst), jnp.asarray(ids),
+                                    jnp.asarray(mask), jnp.asarray(th),
+                                    compute_fw=False, axis_aligned=True)
+    src_rep = jnp.repeat(jnp.asarray(src)[:, None], t, axis=1).reshape(
+        b * t, h, w, c)
+    sm = np.asarray(sparse["sparse_motion_bw"]).reshape(b * t, h, w, 2)
+    want = np.asarray(resample(src_rep, jnp.asarray(sm))).reshape(
+        b, t, h, w, c)
+    got = np.asarray(warp_video_separable(jnp.asarray(src), jnp.asarray(th),
+                                          sparse["winner_bw"]))
+    np.testing.assert_allclose(got, want, atol=2e-5)

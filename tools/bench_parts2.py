@@ -55,10 +55,14 @@ def main():
     print(f"device: {jax.devices()[0]}  batch={BATCH} {H}x{W} bf16", flush=True)
 
     def jitter(bt, s):
-        """Vary the video slightly so dispatches are never cache-identical."""
+        """Vary everything the graph depends on, so no sub-network is CSE'd
+        across the fused iterations (video -> appearance/GNN/previews;
+        thetas -> raster/splat)."""
         out = dict(bt)
         out["video"] = bt["video"] + jax.random.uniform(s, (), minval=0.0,
                                                         maxval=1e-3)
+        out["targets_theta"] = bt["targets_theta"].at[..., 2].add(
+            jax.random.uniform(s, (), maxval=1e-4))
         return out
 
     # --- full inference ---

@@ -59,8 +59,10 @@ def build_reference_inputs(torch, yaml_cfg):
             idx = b * N_OBJ + k
             rois[idx, 0] = torch.tensor([x1, y1, x2, y2], dtype=torch.float)
             inst_ids[idx, 0] = iid
-    input_of = torch.randn((BATCH, 2, T_IN, H, W), generator=g)
-    input_occ = torch.rand((BATCH, 1, T_IN, H, W), generator=g)
+    # with num_input_frames == 1 there are no between-input flows; the
+    # reference evaluator passes None (evaluator.py:161-163)
+    input_of = None
+    input_occ = None
 
     # fully-connected edge_index per graph, batch offsets
     # (reference cityscapes.py:173-175)
@@ -73,14 +75,14 @@ def build_reference_inputs(torch, yaml_cfg):
                     edges.append((off + i, off + j))
     edge_index = torch.tensor(edges, dtype=torch.long).T
 
-    # node features [cy, cx (norm -1..1), h, w, one-hot(19)]
-    # (reference cityscapes.py:143-145)
-    x = torch.zeros((n_total, 23))
-    x[:, 0] = (rois[:, 0, 1] + rois[:, 0, 3]) / H - 1.0
-    x[:, 1] = (rois[:, 0, 0] + rois[:, 0, 2]) / W - 1.0
-    x[:, 2] = (rois[:, 0, 3] - rois[:, 0, 1]) / H
-    x[:, 3] = (rois[:, 0, 2] - rois[:, 0, 0]) / W
-    x[:, 4 + 13] = 1.0  # car trainId 13
+    # node features [cy, cx (norm -1..1), h, w, one-hot(19)] per input frame
+    # (reference cityscapes.py:143-145; data.x is [n, T_in, F])
+    x = torch.zeros((n_total, T_IN, 23))
+    x[:, :, 0] = ((rois[:, :, 1] + rois[:, :, 3]) / H - 1.0)
+    x[:, :, 1] = ((rois[:, :, 0] + rois[:, :, 2]) / W - 1.0)
+    x[:, :, 2] = (rois[:, :, 3] - rois[:, :, 1]) / H
+    x[:, :, 3] = (rois[:, :, 2] - rois[:, :, 0]) / W
+    x[:, :, 4 + 13] = 1.0  # car trainId 13
     targets_theta = torch.zeros((n_total, T_PRED, 6))
     targets_theta[:, :, 0] = 1.0
     targets_theta[:, :, 4] = 1.0
@@ -104,13 +106,21 @@ def build_reference_inputs(torch, yaml_cfg):
 def bench_reference():
     import torch
 
+    # the reference hard-codes .cuda(get_device()) inside resample/normalize
+    # (src/utils/ops.py:202); on CPU get_device() is -1 — make .cuda a no-op
+    # so the unmodified model runs on this host
+    torch.Tensor.cuda = lambda self, *a, **k: self
+
     from tests.ref_shims import add_ref_paths
     add_ref_paths()
     import yaml
     with open("/root/reference/src/config/c2m_journal_cityscapes.yaml") as f:
         cfg = yaml.safe_load(f)
     from modules.model import GeneratorFullModel
-    test_params = cfg["test_params"]
+    # the shipped test_params yaml section omits keys the modules read
+    # (use_fw_of etc.); test_params overlays train_params, matching the keys
+    # the reference's own test run would need
+    test_params = {**cfg["train_params"], **cfg["test_params"]}
     model_params = cfg["model_params"]
     model_params["generator"].setdefault("use_spade", False)  # SURVEY §2.1 quirk
     torch.manual_seed(0)

@@ -176,13 +176,20 @@ def main():
     setup_jax()
     print(f"device: {jax.devices()[0]}", flush=True)
 
-    shapes = [((60, 128, 256, 64), jnp.bfloat16),
-              ((60, 128, 256, 64), jnp.float32),
-              ((60, 32, 64, 256), jnp.bfloat16),
-              ((60, 128, 256, 3), jnp.float32)]
+    # the real call sites at batch 12 x T 5 (folded): decoder skip resample
+    # [60,32,64,64] / [60,16,32,128], generator bottleneck warp [60,16,32,256],
+    # full-res previews/warped-loss [60,128,256,3]; plus one stress shape.
+    shapes = [((60, 32, 64, 64), jnp.bfloat16),
+              ((60, 16, 32, 256), jnp.bfloat16),
+              ((60, 128, 256, 3), jnp.float32),
+              ((60, 128, 256, 64), jnp.bfloat16)]
+    def v_pallas_hat(image, flow):
+        from c2m_tpu.ops.pallas import warp_hat
+        return warp_hat.resample_hat(image, flow)
+
     variants = [("copy", v_copy), ("vmap_take", v_vmap_take),
                 ("flat_take", v_flat_take), ("patch22", v_patch22),
-                ("onehot", v_onehot)]
+                ("onehot", v_onehot), ("pallas_hat", v_pallas_hat)]
     key = jax.random.PRNGKey(0)
     for shape, dtype in shapes:
         img = jax.random.normal(key, shape, dtype)
