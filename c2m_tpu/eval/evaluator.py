@@ -58,10 +58,15 @@ class Evaluator:
     def _jit_infer(self):
         if self._infer is None:
             model = self.model
+            # test-time raster setting comes from test_params (the reference
+            # builds the eval model with train_params=config["test_params"],
+            # src/test.py:53-54; c2m_journal_cityscapes.yaml:170 sets
+            # use_gt_eval: True)
+            use_gt_eval = self.cfg.test_params.use_gt_eval
 
             @jax.jit
             def infer(variables, batch, z_m, click):
-                return model.apply(variables, batch, z_m, click,
+                return model.apply(variables, batch, z_m, click, use_gt_eval,
                                    method="inference",
                                    rngs={"sample": jax.random.PRNGKey(0)})
             self._infer = infer
