@@ -141,7 +141,12 @@ def generate_sparse_motion(instance: jnp.ndarray,
         warped = _warp_masks_separable(obj_f, thetas)
     elif (use_pallas if use_pallas is not None
           else (jax.default_backend() == "tpu" and w % 128 == 0
-                and h % 8 == 0)):
+                and h % 8 == 0
+                # the hat contraction is O((H*W)^2) per warp — a clear win at
+                # the 128x256 operating point (717 -> 38 ms measured) but
+                # quadratically worse at 512x1024, where the linear gather
+                # fallback stays the right call
+                and b * n * t * (h * w) ** 2 <= 2e12)):
         # gather-free MXU hat-contraction kernel; identical math, but the
         # interior test needs headroom for f32 matmul accumulation order
         from c2m_tpu.ops.pallas import maskwarp_kernel

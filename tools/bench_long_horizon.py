@@ -68,7 +68,9 @@ def main():
                            cfg.dataset_params.max_objects)
 
     def one(v, bt, z, c):
-        return model.apply(v, bt, z, c, method="inference",
+        # use_gt_eval=True: the reference's test-time raster setting
+        # (c2m_journal_cityscapes.yaml:170) -> separable MXU raster
+        return model.apply(v, bt, z, c, True, method="inference",
                            rngs={"sample": key})["generated"]
 
     def make_fused(k):
@@ -76,26 +78,32 @@ def main():
         def fused(v, bt, c, seed):
             acc = 0.0
             for i in range(k):
-                z = jax.random.normal(jax.random.fold_in(seed, i),
-                                      (args.batch, 1024))
-                acc = acc + one(v, bt, z, c).mean()
+                s = jax.random.fold_in(seed, i)
+                z = jax.random.normal(s, (args.batch, 1024))
+                bt_i = dict(bt)
+                bt_i["video"] = bt["video"] + jax.random.uniform(
+                    s, (), dtype=bt["video"].dtype, maxval=1e-3)
+                bt_i["targets_theta"] = bt["targets_theta"].at[..., 2].add(
+                    jax.random.uniform(s, (), maxval=1e-4))
+                acc = acc + one(v, bt_i, z, c).mean()
             return acc
         return fused
 
-    f1, f3 = make_fused(1), make_fused(3)
+    # at 512x1024 even a K=2 fused loop exceeds the 16 GB HBM (XLA pads the
+    # full-res head tensors 6.4x in its chosen layout), so the slope trick is
+    # unavailable: time single dispatches with value fetch. The ~0.2 s tunnel
+    # RPC overhead is INCLUDED, i.e. the reported number is conservative.
+    f1 = make_fused(1)
     t0 = time.time()
     float(f1(variables, batch, click, key))
     print(f"inference compile+run {time.time() - t0:.0f}s", flush=True)
-    float(f3(variables, batch, click, key))
 
     def timed(fn, seed):
         t0 = time.perf_counter()
         float(fn(variables, batch, click, jax.random.PRNGKey(seed)))
         return time.perf_counter() - t0
 
-    t1 = min(timed(f1, s) for s in (1, 2))
-    t3 = min(timed(f3, s) for s in (11, 12))
-    per = (t3 - t1) / 2
+    per = min(timed(f1, s) for s in (1, 2, 3))
     fps = args.batch * args.tpred / per
     print(f"INFERENCE: {per * 1e3:.1f} ms / batch{args.batch} "
           f"-> {fps:.1f} frames/s/chip", flush=True)
