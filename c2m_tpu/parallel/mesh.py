@@ -6,8 +6,15 @@ tensors shard on axis 0, parameters/optimizer state replicate. Under ``jit``
 the gradient mean materializes as an XLA psum over ICI — no hand-written
 collectives, and none of the reference's wrap-then-unwrap DDP fragility.
 
-The mesh helper accepts a ``model`` axis for future intra-op sharding of the
-widest layers (reserved; the conv-GAN's weights fit easily on one chip).
+Beyond DP, the ``model`` mesh axis can carry **spatial partitioning** of the
+image height (``spatial_batch_sharding``): [B, T, H, W, C] tensors shard on
+H, parameters stay replicated, and XLA's SPMD partitioner inserts the conv
+halo exchanges over ICI automatically. This is the scaling story for the
+512x1024 long-horizon config, where activations — not weights — exceed a
+chip (SURVEY.md §5 "long context"): batch-1 clips split across chips
+without any model surgery. Validated on the virtual CPU mesh by
+tests/test_parallel.py and ``__graft_entry__.dryrun_multichip``'s spatial
+variant.
 """
 
 from __future__ import annotations
@@ -38,12 +45,31 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    s = data_sharding(mesh)
-    return {k: jax.device_put(v, s) for k, v in batch.items()}
+def spatial_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Batch on ``data``; image HEIGHT on ``model`` (spatial partitioning).
+
+    Video tensors are [B, T, H, W, C] (H at axis 2); folded/flat tensors
+    keep H at axis 1 ([B*, H, W, C]). Tensors without a height axis
+    (graph nodes, thetas) shard on batch only.
+    """
+    if ndim >= 5:
+        return NamedSharding(mesh, P("data", None, "model"))
+    if ndim == 4:
+        return NamedSharding(mesh, P("data", "model"))
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh,
+                spatial: bool = False) -> Dict[str, Any]:
+    if not spatial:
+        s = data_sharding(mesh)
+        return {k: jax.device_put(v, s) for k, v in batch.items()}
+    return {k: jax.device_put(v, spatial_sharding(mesh, np.ndim(v)))
+            for k, v in batch.items()}
 
 
 def shard_state(state, mesh: Mesh):
-    """Replicate params/opt state across the mesh (pure data parallelism)."""
+    """Replicate params/opt state across the mesh (pure data parallelism;
+    spatial partitioning also replicates weights — only activations split)."""
     s = replicate_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), state)

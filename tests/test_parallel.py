@@ -124,3 +124,44 @@ def test_real_model_sharded_gradients_match_unsharded():
     dot = float(sum(jnp.vdot(a, b) for a, b in zip(flat_ref, flat_sh)))
     cosine = dot / (ref_norm * sh_norm)
     assert cosine > 0.999, cosine
+
+
+def test_real_model_spatial_sharding_matches_unsharded():
+    """Spatial partitioning (the 512x1024 long-horizon scaling mode): with
+    the batch sharded over 'data' AND image height over 'model' (2x4 mesh),
+    XLA's SPMD partitioner must insert conv halo exchanges that reproduce
+    the single-device inference bit-for-bit-ish (eval mode: deterministic,
+    no train-time norm statistics)."""
+    from c2m_tpu.config import shrink_model, tiny_config
+    from c2m_tpu.parallel.mesh import make_mesh, shard_batch
+    from c2m_tpu.data.synthetic import make_batch
+    from c2m_tpu.train.model import C2MTrainModel
+
+    cfg = shrink_model(tiny_config(h=64, w=128, num_predicted=5,
+                                   max_objects=4, batch_size=2),
+                       block_expansion=8, max_expansion=32)
+    cfg.train_params.dtype = "float32"
+    model = C2MTrainModel(cfg)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg, seed=5).items()}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        batch, train=False)
+    me = cfg.model_params.motion_estimator.dense_motion_encoder
+    z = jax.random.normal(jax.random.PRNGKey(2),
+                          (2, me.out_channel_bg + me.out_channel_fg))
+    click = jax.nn.one_hot(jnp.zeros((2,), jnp.int32), 4)
+
+    @jax.jit
+    def infer(v, bt):
+        return model.apply(v, bt, z, click, method="inference",
+                           rngs={"sample": jax.random.PRNGKey(3)})["generated"]
+
+    ref = infer(variables, batch)
+
+    mesh = make_mesh(8, model_axis=4)
+    assert mesh.devices.shape == (2, 4)
+    with mesh:
+        sharded = shard_batch(batch, mesh, spatial=True)
+        got = infer(variables, sharded)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)

@@ -183,13 +183,12 @@ def main():
               ((60, 16, 32, 256), jnp.bfloat16),
               ((60, 128, 256, 3), jnp.float32),
               ((60, 128, 256, 64), jnp.bfloat16)]
-    def v_pallas_hat(image, flow):
-        from c2m_tpu.ops.pallas import warp_hat
-        return warp_hat.resample_hat(image, flow)
+    from c2m_tpu.ops.warp import _resample_onehot
 
     variants = [("copy", v_copy), ("vmap_take", v_vmap_take),
                 ("flat_take", v_flat_take), ("patch22", v_patch22),
-                ("onehot", v_onehot), ("pallas_hat", v_pallas_hat)]
+                ("onehot", v_onehot),
+                ("onehot_exact", lambda i, f: _resample_onehot(i, f))]
     key = jax.random.PRNGKey(0)
     for shape, dtype in shapes:
         img = jax.random.normal(key, shape, dtype)
