@@ -68,7 +68,7 @@ def _kernel(theta_ref, mask_ref, out_ref, *, h: int, w: int):
 def _call(thetas: jnp.ndarray, masks: jnp.ndarray, h: int, w: int
           ) -> jnp.ndarray:
     g, t = thetas.shape[:2]
-    kernel = functools.partial(_kernel, h=h, w=w)  # noqa: t captured below
+    kernel = functools.partial(_kernel, h=h, w=w)
     return pl.pallas_call(
         kernel,
         grid=(g, t, h // _ROWS),
