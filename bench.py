@@ -117,7 +117,7 @@ def main():
                           "~150 f/s PyTorch A100 inference, BASELINE.md)",
         "mfu_vs_v5e_bf16_peak": round(mfu, 4),
         "xla_flops_per_inference": flops_per_call,
-        "ms_per_batch4_inference": round(per_call * 1e3, 3),
+        "ms_per_batch12_inference": round(per_call * 1e3, 3),
     }))
 
 

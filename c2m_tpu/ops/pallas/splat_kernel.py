@@ -62,6 +62,9 @@ def _splat_call(sx: jnp.ndarray, sy: jnp.ndarray, h: int, w: int) -> jnp.ndarray
     b, p = sx.shape
     chunk = 2048 if w <= 512 else 1024
     band = min(h, 128)
+    assert h % band == 0, (
+        f"splat kernel banding needs h <= 128 or h % 128 == 0, got {h} "
+        "(the occlusion_map guard routes other shapes to the scatter path)")
     n_chunks = p // chunk
     sx3 = sx.reshape(b, n_chunks, chunk)
     sy3 = sy.reshape(b, n_chunks, chunk)

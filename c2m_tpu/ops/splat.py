@@ -82,8 +82,10 @@ def occlusion_map(flow: jnp.ndarray, use_pallas: Optional[bool] = None
                       jnp.broadcast_to(ys[:, None], (h, w))], axis=-1)
     coords = base[None] + flow
     if use_pallas is None:
-        # lane-aligned maps only; anything else takes the scatter path
-        use_pallas = jax.default_backend() == "tpu" and w % 128 == 0
+        # lane-aligned maps whose height the kernel's 128-row banding covers
+        # exactly; anything else takes the scatter path
+        use_pallas = (jax.default_backend() == "tpu" and w % 128 == 0
+                      and (h <= 128 or h % 128 == 0))
     if use_pallas:
         from c2m_tpu.ops.pallas import splat_kernel
         corr = splat_kernel.corresponding_map(coords)

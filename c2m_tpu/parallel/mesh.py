@@ -48,14 +48,14 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
 def spatial_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     """Batch on ``data``; image HEIGHT on ``model`` (spatial partitioning).
 
-    Video tensors are [B, T, H, W, C] (H at axis 2); folded/flat tensors
-    keep H at axis 1 ([B*, H, W, C]). Tensors without a height axis
-    (graph nodes, thetas) shard on batch only.
+    Only the 5-d video streams [B, T, H, W, C] carry a height axis in the
+    loader's batch; every other tensor (graph nodes [B, N, F], thetas
+    [B, N, T, 6], rois) shards on batch only — inside ``jit`` the SPMD
+    partitioner propagates the height sharding to the folded/flat
+    activations on its own.
     """
     if ndim >= 5:
         return NamedSharding(mesh, P("data", None, "model"))
-    if ndim == 4:
-        return NamedSharding(mesh, P("data", "model"))
     return NamedSharding(mesh, P("data"))
 
 

@@ -199,6 +199,19 @@ class Trainer:
         host_batch = val_np if val_np is not None else batch
         if host_batch is None:
             return None
+        if val_np is not None:
+            # the val batch size (test_params.batch_size, e.g. 12) need not
+            # divide the mesh — trim to the largest shardable multiple so a
+            # mid-train eval can't crash a multi-chip run
+            n_dev = self.mesh.devices.size if self.mesh is not None else 1
+            b_full = len(host_batch["video"])
+            b_keep = max(n_dev, (b_full // n_dev) * n_dev)
+            if b_keep != b_full and b_full >= n_dev:
+                host_batch = {k: v[:b_keep] for k, v in host_batch.items()}
+            elif b_full < n_dev:
+                host_batch = None
+        if host_batch is None:
+            return None
         dev_batch = (_device_batch(host_batch, self.sharding)
                      if val_np is not None or batch is None else batch)
         me = self.cfg.model_params.motion_estimator.dense_motion_encoder

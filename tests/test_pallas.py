@@ -212,3 +212,19 @@ def test_resample_onehot_matches_jnp():
     flow = jnp.asarray((rng.rand(3, 32, 64, 2) * 80 - 40).astype(np.float32))
     np.testing.assert_allclose(np.asarray(_resample_onehot(img, flow)),
                                np.asarray(_resample_jnp(img, flow)), atol=1e-5)
+
+
+def test_splat_kernel_height_guard():
+    """h > 128 with h % 128 != 0 is outside the kernel's row banding — the
+    occlusion_map guard must route it to the scatter path, and the kernel
+    itself must refuse it rather than drop rows."""
+    from c2m_tpu.ops.pallas import splat_kernel
+
+    flow = jnp.zeros((1, 160, 256, 2))
+    coords = jnp.zeros((1, 160, 256, 2))
+    with pytest.raises(AssertionError):
+        splat_kernel.corresponding_map(coords)
+    # the default dispatch on CPU (and for this shape anywhere) is scatter
+    from c2m_tpu.ops import splat
+    out = splat.occlusion_map(flow)
+    assert bool(jnp.isfinite(out).all())

@@ -36,10 +36,19 @@ def measure(batch_size, h=128, w=256, k_small=2, k_big=12):
         def fused(v, bt, c, seed):
             acc = 0.0
             for i in range(k):
-                z = jax.random.normal(jax.random.fold_in(seed, i),
-                                      (batch_size, 1024))
+                s = jax.random.fold_in(seed, i)
+                z = jax.random.normal(s, (batch_size, 1024))
+                # fresh conditioning AND thetas per iteration, and the
+                # reference's test-time use_gt_eval=True — matching bench.py
+                # (varying only z lets XLA CSE the batch-dependent front end
+                # across the loop and invalidates the sweep)
+                bt_i = dict(bt)
+                bt_i["video"] = bt["video"] + jax.random.uniform(
+                    s, (), dtype=bt["video"].dtype, maxval=1e-3)
+                bt_i["targets_theta"] = bt["targets_theta"].at[..., 2].add(
+                    jax.random.uniform(s, (), maxval=1e-4))
                 acc = acc + model.apply(
-                    v, bt, z, c, method="inference",
+                    v, bt_i, z, c, True, method="inference",
                     rngs={"sample": key})["generated"].mean()
             return acc
         return fused
