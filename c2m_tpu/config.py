@@ -131,6 +131,14 @@ class TrainParams:
     remat: bool = False            # rematerialize the big submodules in the
     # train step (jax.checkpoint); trades ~1 extra forward for the activation
     # memory — required for the 512x1024 long-horizon config on 16 GB chips
+    scan_frames: int = 0           # >0: run the per-frame train tail
+    # (generator + VGG + image-D + per-frame losses) as an nn.scan over
+    # chunks of this many predicted frames instead of one time-folded batch.
+    # Cuts the tail's live full-res activations by T/chunk — how the
+    # 512x1024x10 train step fits a 16 GB chip. Train-mode BatchNorm batch
+    # stats become per-chunk (the same class of regrouping as the
+    # reference's unsynced per-GPU DDP BatchNorm); 0 = exact folded-batch
+    # semantics (the 128x256 default).
 
     @property
     def num_frames(self) -> int:
@@ -341,6 +349,11 @@ class Config:
                              "all have the same length")
         if self.dataset_params.max_objects < 1:
             raise ValueError("max_objects must be >= 1")
+        if tp.scan_frames < 0 or (tp.scan_frames
+                                  and tp.num_predicted_frames % tp.scan_frames):
+            raise ValueError(
+                f"scan_frames={tp.scan_frames} must be 0 or divide "
+                f"num_predicted_frames={tp.num_predicted_frames}")
         return self
 
     @classmethod

@@ -47,6 +47,11 @@ def ssim_loss(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     x, y: [B, T, H, W, C] videos (time folded internally)."""
     x, _ = fold_time(x)
     y, _ = fold_time(y)
+    return ssim_loss_folded(x, y)
+
+
+def ssim_loss_folded(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """ssim_loss on already time-folded [B*T, H, W, C] frames."""
     c1, c2 = 0.01 ** 2, 0.03 ** 2
     mu_x, mu_y = _avg_pool3(x), _avg_pool3(y)
     sigma_x = _avg_pool3(x * x) - mu_x ** 2
@@ -101,9 +106,16 @@ def perceptual_loss(vgg_apply: Callable[[jnp.ndarray], Dict[str, jnp.ndarray]],
                     style_weight: float = 0.0) -> Dict[str, jnp.ndarray]:
     """VGG19 relu{1..5}_1 L1 (+ optional Gram style), per-frame, averaged over
     T (losses.py:23-70). gt/fake: [B, T, H, W, 3] in [0,1]."""
-    t = gt.shape[1]
     gt_flat, _ = fold_time(gt)
     fake_flat, _ = fold_time(fake)
+    return perceptual_loss_folded(vgg_apply, gt_flat, fake_flat, style_weight)
+
+
+def perceptual_loss_folded(vgg_apply, gt_flat: jnp.ndarray,
+                           fake_flat: jnp.ndarray,
+                           style_weight: float = 0.0
+                           ) -> Dict[str, jnp.ndarray]:
+    """perceptual_loss on already time-folded [B*T, H, W, 3] frames."""
     x_taps = jax.tree.map(jax.lax.stop_gradient, vgg_apply(gt_flat))
     y_taps = vgg_apply(fake_flat)
     out: Dict[str, jnp.ndarray] = {}
@@ -159,8 +171,13 @@ def feature_matching_loss(real_feats, fake_feats) -> jnp.ndarray:
 
 def training_losses(cfg_train, batch: Dict[str, jnp.ndarray],
                     out: Dict[str, jnp.ndarray],
-                    vgg_apply: Optional[Callable]) -> Dict[str, jnp.ndarray]:
-    """Generator-side objective (losses.py TrainingLosses.forward:205-255)."""
+                    vgg_apply: Optional[Callable],
+                    skip_generated: bool = False) -> Dict[str, jnp.ndarray]:
+    """Generator-side objective (losses.py TrainingLosses.forward:205-255).
+
+    ``skip_generated=True`` omits the losses that consume ``out['generated']``
+    (reconstruction, ssim, perceptual/style) — the caller computes them in the
+    frame-chunked scan tail instead (train_params.scan_frames)."""
     tp = cfg_train
     w = tp.loss_weights
     nif = tp.num_input_frames
@@ -193,11 +210,13 @@ def training_losses(cfg_train, batch: Dict[str, jnp.ndarray],
             loss["flow_smooth"] += smooth_loss(out["dense_motion_fw"], src_rep)
 
     loss["kl"] = kl_loss(out["mu"], out["logvar"])
-    loss["ssim"] = ssim_loss(out["generated"], target_frames)
-    loss["reconstruction"] = l1_masked(out["generated"], target_frames)
-    if w.perceptual > 0 and vgg_apply is not None:
-        loss.update(perceptual_loss(vgg_apply, target_frames, out["generated"],
-                                    style_weight=w.style))
+    if not skip_generated:
+        loss["ssim"] = ssim_loss(out["generated"], target_frames)
+        loss["reconstruction"] = l1_masked(out["generated"], target_frames)
+        if w.perceptual > 0 and vgg_apply is not None:
+            loss.update(perceptual_loss(vgg_apply, target_frames,
+                                        out["generated"],
+                                        style_weight=w.style))
     loss["occlusion_bw"] = l1_masked(batch["target_bw_occ"], out["occlusion_bw"])
     if tp.use_fw_of and batch.get("target_fw_occ") is not None:
         loss["occlusion_fw"] = l1_masked(batch["target_fw_occ"],

@@ -90,12 +90,14 @@ class C2MGenerator(nn.Module):
         self.dense_generator_bw = maybe_remat(DenseMotionDecoder, 6)(
             me.dense_motion_decoder, tp.num_input_frames,
             tp.num_predicted_frames,
-            sparse_down=me.sparse_motion_encoder.num_down_blocks, dtype=dtype)
+            sparse_down=me.sparse_motion_encoder.num_down_blocks, dtype=dtype,
+            scan_frames=tp.scan_frames)
         if tp.use_fw_of:
             self.dense_generator_fw = maybe_remat(DenseMotionDecoder, 6)(
                 me.dense_motion_decoder, tp.num_input_frames,
                 tp.num_predicted_frames,
-                sparse_down=me.sparse_motion_encoder.num_down_blocks, dtype=dtype)
+                sparse_down=me.sparse_motion_encoder.num_down_blocks, dtype=dtype,
+                scan_frames=tp.scan_frames)
         down = 2 ** mp.appearance_encoder.num_down_blocks
         self.h_app = int(tp.input_size[0] / down * mp.common_params.scale_factor)
         self.w_app = int(tp.input_size[1] / down * mp.common_params.scale_factor)
@@ -193,15 +195,61 @@ class C2MGenerator(nn.Module):
 
     def _generate_frames(self, batch: Batch, dense_bw: Dict[str, jnp.ndarray],
                          train: bool) -> jnp.ndarray:
-        """Run the generator on the time-folded batch (model.py:195-202)."""
+        """Run the generator on the time-folded batch (model.py:195-202).
+
+        With ``train_params.scan_frames = k > 0`` the fold runs as an nn.scan
+        over chunks of k frames instead: live full-res generator activations
+        drop by T/k, which is what fits the 512x1024x10 config on one chip
+        (VERDICT r2 #1). Eval-mode numerics are exactly the folded path's
+        (per-frame convs + running-stat norms); train-mode BatchNorm computes
+        per-chunk batch stats — the same regrouping class as the reference's
+        unsynced per-GPU DDP BatchNorm.
+        """
         tp = self.cfg.train_params
         tpred = tp.num_predicted_frames
+        k = tp.scan_frames
         src = batch["video"][:, tp.num_input_frames - 1]
-        src_rep, _ = fold_time(jnp.repeat(src[:, None], tpred, axis=1))
-        flow, _ = fold_time(dense_bw["dense_motion"])
-        occ, _ = fold_time(dense_bw["occlusion"])
-        gen = self.generator(src_rep, flow, occ, train)
-        return unfold_time(gen, tpred)
+        # init must run folded: nn.scan's variable_carry needs batch_stats
+        # to exist before the scan (names match, so variables are identical)
+        if not k or k >= tpred or self.is_initializing():
+            src_rep, _ = fold_time(jnp.repeat(src[:, None], tpred, axis=1))
+            flow, _ = fold_time(dense_bw["dense_motion"])
+            occ, _ = fold_time(dense_bw["occlusion"])
+            gen = self.generator(src_rep, flow, occ, train)
+            return unfold_time(gen, tpred)
+
+        b = src.shape[0]
+        nc = tpred // k
+        src_rep = jnp.repeat(src[:, None], k, axis=1).reshape(
+            b * k, *src.shape[1:])
+
+        def to_chunks(x):  # [B, T, ...] -> [nc, B*k, ...]
+            x = x.reshape(b, nc, k, *x.shape[2:])
+            return jnp.moveaxis(x, 1, 0).reshape(nc, b * k, *x.shape[3:])
+
+        def body(mdl, carry, xs):
+            flow_k, occ_k = xs
+            gen_k = mdl.generator(src_rep, flow_k, occ_k, train)
+            return carry, gen_k
+
+        # remat-of-scan: each chunk's generator forward is recomputed in the
+        # backward pass instead of stacked across all chunks. batch_stats is
+        # carried only when this apply made it mutable (train step); eval /
+        # inference applies read it broadcast.
+        carry = tuple(c for c in ("batch_stats",)
+                      if self.is_mutable_collection(c))
+        bcast = ("params",) + tuple(c for c in ("batch_stats",)
+                                    if c not in carry)
+        scan = nn.scan(nn.remat(body), variable_broadcast=bcast,
+                       variable_carry=carry,
+                       split_rngs={"params": False, "sample": False},
+                       in_axes=0, out_axes=0)
+        _, gens = scan(self, jnp.zeros(()), (
+            to_chunks(dense_bw["dense_motion"]),
+            to_chunks(dense_bw["occlusion"])))
+        # [nc, B*k, H, W, 3] -> [B, T, H, W, 3]
+        gens = gens.reshape(nc, b, k, *gens.shape[2:])
+        return jnp.moveaxis(gens, 1, 0).reshape(b, tpred, *gens.shape[3:])
 
     def _sparse_previews(self, batch: Batch, out: Dict[str, jnp.ndarray],
                          raster_thetas: Optional[jnp.ndarray] = None,

@@ -100,6 +100,11 @@ class DenseMotionDecoder(nn.Module):
     num_predicted_frames: int
     sparse_down: int
     dtype: Optional[jnp.dtype] = None
+    scan_frames: int = 0  # >0: run the full-res tail (final_up, final_fuse,
+    # heads) as an nn.scan over chunks of this many frames with a 1-frame
+    # halo for the kt=3 time conv — same params/names as the folded path,
+    # exact conv math; train-mode BN stats become per-chunk
+    # (train_params.scan_frames, VERDICT r2 #1)
 
     @nn.compact
     def __call__(self, appearance: Dict[str, jnp.ndarray],
@@ -155,6 +160,13 @@ class DenseMotionDecoder(nn.Module):
                     jnp.concatenate([out, sp], axis=-1), train=train)
                 fuse_idx += 1
 
+        k = self.scan_frames
+        # init runs the folded path (identical module names -> identical
+        # variables); nn.scan's variable_carry needs batch_stats to already
+        # exist, so the scan tail is apply-time only
+        if k and k < t and t > 2 and not self.is_initializing():
+            return self._scan_tail(out, sparse_motion, train)
+
         x, _ = fold_time(out)
         x = UpBlock2d(p.out_channel, kernel_size=3, strides=1, padding=1,
                       padding_mode=p.padding_mode, dtype=self.dtype,
@@ -168,6 +180,68 @@ class DenseMotionDecoder(nn.Module):
         occ = _PredictorHead(1, sigmoid=True, dtype=self.dtype, name="occlusion")(flat)
         return {"dense_motion": unfold_time(flow.astype(jnp.float32), t),
                 "occlusion": unfold_time(occ.astype(jnp.float32), t)}
+
+    def _scan_tail(self, out: jnp.ndarray, sparse_motion: jnp.ndarray,
+                   train: bool) -> Dict[str, jnp.ndarray]:
+        """Frame-chunked full-res tail: the [B*T, H, W, 32] tensors of
+        final_up/final_fuse/heads dominate the 512x1024 train-step HBM (the
+        top-8 OOM allocations are exactly these, 2-4 GB each under XLA's
+        (batch-sublane, channel-lane) padding). Each scan step recomputes a
+        (k+2)-frame window (1-frame halo each side feeds the kt=3 reflect-
+        padded time conv exactly), so live full-res memory drops by ~T/k.
+        Module names match the folded path — parameters are identical."""
+        p = self.params
+        t = self.num_predicted_frames
+        k = self.scan_frames
+        nc = t // k
+        b = out.shape[0]
+
+        # reflect-pad the time axis once (torch ReflectionPad3d order), then
+        # take overlapping (k+2)-frame windows at the half-res input — cheap:
+        # `out` here is [B, T, H/2, W/2, C]
+        def pad_t(x):
+            return jnp.concatenate([x[:, 1:2], x, x[:, -2:-1]], axis=1)
+
+        out_p = pad_t(out)
+        sm_p = pad_t(sparse_motion)
+        wins = jnp.stack([out_p[:, c * k:c * k + k + 2] for c in range(nc)], 0)
+        sm_wins = jnp.stack([sm_p[:, c * k:c * k + k + 2] for c in range(nc)], 0)
+
+        def body(mdl, carry, xs):
+            win, sm_k = xs                   # [B, k+2, h2, w2, C], [B, k+2, H, W, 2]
+            d = mdl.params
+            xf, _ = fold_time(win)
+            xf = UpBlock2d(d.out_channel, kernel_size=3, strides=1, padding=1,
+                           padding_mode=d.padding_mode, dtype=mdl.dtype,
+                           name="final_up")(xf, train=train)
+            xu = unfold_time(xf, k + 2)      # [B, k+2, H, W, oc]
+            # time already halo-padded -> padding=(0, 1, 1): t_out = k
+            fused = SameBlock3d(d.out_channel, 3, 1, (0, 1, 1),
+                                padding_mode=d.padding_mode, dtype=mdl.dtype,
+                                name="final_fuse")(
+                jnp.concatenate([xu, sm_k], axis=-1), train=train)
+            flat, _ = fold_time(fused)       # [B*k, H, W, oc]
+            flow = _PredictorHead(2, sigmoid=False, dtype=mdl.dtype,
+                                  name="flow")(flat)
+            occ = _PredictorHead(1, sigmoid=True, dtype=mdl.dtype,
+                                 name="occlusion")(flat)
+            return carry, (unfold_time(flow.astype(jnp.float32), k),
+                           unfold_time(occ.astype(jnp.float32), k))
+
+        carry = tuple(c for c in ("batch_stats",)
+                      if self.is_mutable_collection(c))
+        bcast = ("params",) + tuple(c for c in ("batch_stats",)
+                                    if c not in carry)
+        scan = nn.scan(nn.remat(body), variable_broadcast=bcast,
+                       variable_carry=carry,
+                       split_rngs={"params": False, "sample": False},
+                       in_axes=0, out_axes=0)
+        _, (flows, occs) = scan(self, jnp.zeros(()), (wins, sm_wins))
+
+        def merge(x):                        # [nc, B, k, H, W, C] -> [B, T, ...]
+            return jnp.moveaxis(x, 1, 0).reshape(b, t, *x.shape[3:])
+
+        return {"dense_motion": merge(flows), "occlusion": merge(occs)}
 
 
 def reparameterize(rng: jax.Array, mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:

@@ -94,6 +94,9 @@ def warp_masks(obj_f: jnp.ndarray, thetas: jnp.ndarray) -> jnp.ndarray:
     """
     b, n, h, w = obj_f.shape
     t = thetas.shape[2]
+    assert h % _ROWS == 0, (
+        f"maskwarp kernel requires h % {_ROWS} == 0, got {h} (the raster "
+        "default-path guard routes unaligned shapes to the gather path)")
     th = thetas.reshape(b * n, t, 6).astype(jnp.float32)
     mk = obj_f.reshape(b * n, h, w).astype(jnp.float32)
     out = _call(th, mk, h, w)

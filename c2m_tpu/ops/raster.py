@@ -23,7 +23,7 @@ theta losses, SURVEY.md §2.4).
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -73,6 +73,20 @@ def _interp_matrix(pos: jnp.ndarray, size: int) -> jnp.ndarray:
     return jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., None] - idx))
 
 
+def _separable_coords(thetas: jnp.ndarray, h: int, w: int):
+    """Axis-aligned affine -> acf source pixel coords per axis.
+    thetas [B, N, T, 6] -> px [B, N, T, W], py [B, N, T, H]."""
+    dtype = thetas.dtype
+    bx = (2.0 * jnp.arange(w, dtype=dtype) + 1.0) / w - 1.0
+    by = (2.0 * jnp.arange(h, dtype=dtype) + 1.0) / h - 1.0
+    # normalized sample coords, then acf pixel coords
+    gx = thetas[..., 0, None] * bx + thetas[..., 2, None]     # [B, N, T, W]
+    gy = thetas[..., 4, None] * by + thetas[..., 5, None]     # [B, N, T, H]
+    px = ((gx + 1.0) * w - 1.0) * 0.5
+    py = ((gy + 1.0) * h - 1.0) * 0.5
+    return px, py
+
+
 def _warp_masks_separable(obj_f: jnp.ndarray, thetas: jnp.ndarray
                           ) -> jnp.ndarray:
     """Warp all object masks by *axis-aligned* affines as two dense matmuls —
@@ -83,15 +97,7 @@ def _warp_masks_separable(obj_f: jnp.ndarray, thetas: jnp.ndarray
     obj_f: [B, N, H, W]; thetas: [B, N, T, 6] -> warped [B, N, T, H, W].
     """
     b, n, h, w = obj_f.shape
-    t = thetas.shape[2]
-    dtype = thetas.dtype
-    bx = (2.0 * jnp.arange(w, dtype=dtype) + 1.0) / w - 1.0
-    by = (2.0 * jnp.arange(h, dtype=dtype) + 1.0) / h - 1.0
-    # normalized sample coords, then acf pixel coords
-    gx = thetas[..., 0, None] * bx + thetas[..., 2, None]     # [B, N, T, W]
-    gy = thetas[..., 4, None] * by + thetas[..., 5, None]     # [B, N, T, H]
-    px = ((gx + 1.0) * w - 1.0) * 0.5
-    py = ((gy + 1.0) * h - 1.0) * 0.5
+    px, py = _separable_coords(thetas, h, w)
     kx = _interp_matrix(px, w)                                 # [B, N, T, W, W]
     ky = _interp_matrix(py, h)                                 # [B, N, T, H, H]
     tmp = jnp.einsum("bnji,bntxi->bntjx", obj_f, kx,
@@ -100,13 +106,49 @@ def _warp_masks_separable(obj_f: jnp.ndarray, thetas: jnp.ndarray
                       preferred_element_type=jnp.float32)
 
 
+def _winner_separable_scan(obj_f: jnp.ndarray, thetas: jnp.ndarray,
+                           valid: jnp.ndarray, interior_eps: float
+                           ) -> jnp.ndarray:
+    """Winner map for axis-aligned thetas WITHOUT materializing the full
+    [B, N, T, H, W] warped stack: scan over nodes, carrying only the running
+    winner. At 512x1024 the batched path's interp matrices alone are
+    [B, N, T, W, W] ~ 1 GB; here peak extra memory is one node's
+    [B, T, H, W] warp (the train-fit requirement, VERDICT r2 #1).
+    Exactly the same winner as max(rank * covered) since later nodes
+    overwrite earlier ones on ties — identical to winner-takes-last.
+    """
+    b, n, h, w = obj_f.shape
+    t = thetas.shape[2]
+    px, py = _separable_coords(thetas, h, w)                   # [B,N,T,W/H]
+
+    def body(winner, xs):
+        mask, px_n, py_n, valid_n, rank = xs                   # [B,H,W],[B,T,W],[B,T,H]
+        kx = _interp_matrix(px_n, w)                           # [B, T, W, W]
+        ky = _interp_matrix(py_n, h)                           # [B, T, H, H]
+        tmp = jnp.einsum("bji,btxi->btjx", mask, kx,
+                         preferred_element_type=jnp.float32)
+        warped = jnp.einsum("btyj,btjx->btyx", ky, tmp,
+                            preferred_element_type=jnp.float32)
+        covered = (warped >= (1.0 - interior_eps)) & valid_n[:, None, None, None]
+        return jnp.where(covered, rank, winner), None
+
+    ranks = jnp.arange(1, n + 1, dtype=jnp.int32)
+    init = jnp.zeros((b, t, h, w), jnp.int32)
+    winner, _ = jax.lax.scan(
+        body, init,
+        (jnp.moveaxis(obj_f, 1, 0), jnp.moveaxis(px, 1, 0),
+         jnp.moveaxis(py, 1, 0), jnp.moveaxis(valid, 1, 0), ranks))
+    return winner
+
+
 def generate_sparse_motion(instance: jnp.ndarray,
                            inst_ids: jnp.ndarray,
                            node_mask: jnp.ndarray,
                            thetas: jnp.ndarray,
                            compute_fw: bool = True,
                            axis_aligned: bool = False,
-                           use_pallas: bool = None) -> Dict[str, jnp.ndarray]:
+                           use_pallas: Optional[bool] = None
+                           ) -> Dict[str, jnp.ndarray]:
     """Rasterize per-object affine motions into sparse flow fields.
 
     Args:
@@ -137,8 +179,16 @@ def generate_sparse_motion(instance: jnp.ndarray,
 
     # Warp every object mask by its per-timestep affine: [B, N, T, H, W].
     interior_eps = _INTERIOR_EPS
+    warped = None
     if axis_aligned:
-        warped = _warp_masks_separable(obj_f, thetas)
+        if b * n * t * h * w > (1 << 27):
+            # big maps (512x1024 long-horizon): node-scanned winner, never
+            # materializing [B, N, T, H, W] or the [B, N, T, W, W] interp
+            # matrices (peak ~1.5 GB at config 5 otherwise)
+            winner_bw = _winner_separable_scan(obj_f, thetas, valid,
+                                               interior_eps)
+        else:
+            warped = _warp_masks_separable(obj_f, thetas)
     elif (use_pallas if use_pallas is not None
           else (jax.default_backend() == "tpu" and w % 128 == 0
                 and h % 8 == 0
@@ -148,7 +198,10 @@ def generate_sparse_motion(instance: jnp.ndarray,
                 # fallback stays the right call
                 and b * n * t * (h * w) ** 2 <= 2e12)):
         # gather-free MXU hat-contraction kernel; identical math, but the
-        # interior test needs headroom for f32 matmul accumulation order
+        # interior test needs headroom for f32 matmul accumulation order,
+        # so the eps is PATH-DEPENDENT: boundary pixels with warped mass in
+        # (1-1e-4, 1-1e-5) may flip `covered` between this and the gather
+        # path (tests/test_raster.py's cross-path test bounds the effect)
         from c2m_tpu.ops.pallas import maskwarp_kernel
         warped = maskwarp_kernel.warp_masks(obj_f, thetas)
         interior_eps = 1e-4
@@ -161,11 +214,12 @@ def generate_sparse_motion(instance: jnp.ndarray,
         warp_nt = jax.vmap(jax.vmap(warp_one, in_axes=(None, 0)),
                            in_axes=(0, 0))
         warped = jax.vmap(warp_nt)(obj_f, thetas)                      # [B, N, T, H, W]
-    covered = warped >= (1.0 - interior_eps)
-    covered = covered & valid[:, :, None, None, None]
-
-    node_rank = jnp.arange(1, n + 1, dtype=jnp.int32)[None, :, None, None, None]
-    winner_bw = jnp.max(jnp.where(covered, node_rank, 0), axis=1)      # [B, T, H, W]
+    if warped is not None:
+        covered = warped >= (1.0 - interior_eps)
+        covered = covered & valid[:, :, None, None, None]
+        node_rank = jnp.arange(1, n + 1,
+                               dtype=jnp.int32)[None, :, None, None, None]
+        winner_bw = jnp.max(jnp.where(covered, node_rank, 0), axis=1)  # [B, T, H, W]
 
     # Select the winning node's theta per pixel via a one-hot contraction
     # over the (tiny) node axis — a per-pixel N-way select the TPU runs as
@@ -256,9 +310,14 @@ def warp_video_separable(src: jnp.ndarray, thetas: jnp.ndarray,
     px = jnp.clip(jnp.concatenate([px_bg, px_obj], axis=1), 0.0, w - 1.0)
     py = jnp.clip(jnp.concatenate([py_bg, py_obj], axis=1), 0.0, h - 1.0)
 
-    def per_node(acc_and_idx, k_pair):
+    def per_node(acc_and_idx, coords):
         acc, idx = acc_and_idx
-        kx, ky = k_pair                                    # [B,T,W,W], [B,T,H,H]
+        px_n, py_n = coords                                # [B,T,W], [B,T,H]
+        # interp matrices built per node INSIDE the scan so peak memory is
+        # one node's [B, T, W, W], not [B, N+1, T, W, W] (hundreds of MB at
+        # 512x1024 for a viz-only stream — ADVICE r2)
+        kx = _interp_matrix(px_n, w).astype(dtype)         # [B, T, W, W]
+        ky = _interp_matrix(py_n, h).astype(dtype)         # [B, T, H, H]
         tmp = jnp.einsum("bjic,btxi->btjxc", src, kx,
                          preferred_element_type=jnp.float32)
         wn = jnp.einsum("btyj,btjxc->btyxc", ky, tmp,
@@ -266,10 +325,8 @@ def warp_video_separable(src: jnp.ndarray, thetas: jnp.ndarray,
         acc = jnp.where((winner == idx)[..., None], wn, acc)
         return (acc, idx + 1), None
 
-    kx_all = _interp_matrix(px, w).astype(dtype)           # [B, N+1, T, W, W]
-    ky_all = _interp_matrix(py, h).astype(dtype)
     init = jnp.zeros((b, t, h, w, c), dtype)
     (out, _), _ = jax.lax.scan(
         per_node, (init, jnp.int32(0)),
-        (jnp.moveaxis(kx_all, 1, 0), jnp.moveaxis(ky_all, 1, 0)))
+        (jnp.moveaxis(px, 1, 0), jnp.moveaxis(py, 1, 0)))
     return out

@@ -202,8 +202,11 @@ class Trainer:
         if val_np is not None:
             # the val batch size (test_params.batch_size, e.g. 12) need not
             # divide the mesh — trim to the largest shardable multiple so a
-            # mid-train eval can't crash a multi-chip run
-            n_dev = self.mesh.devices.size if self.mesh is not None else 1
+            # mid-train eval can't crash a multi-chip run. Only the *data*
+            # axis shards the batch; a (2,4) spatial mesh needs batch % 2,
+            # not % 8 (ADVICE r2).
+            n_dev = (self.mesh.shape.get("data", self.mesh.devices.size)
+                     if self.mesh is not None else 1)
             b_full = len(host_batch["video"])
             b_keep = max(n_dev, (b_full // n_dev) * n_dev)
             if b_keep != b_full and b_full >= n_dev:

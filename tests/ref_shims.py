@@ -329,3 +329,49 @@ def randomize_bn_stats(model, seed=0):
                     torch.randn(m.running_mean.shape, generator=g) * 0.1)
                 m.running_var.copy_(
                     torch.rand(m.running_var.shape, generator=g) + 0.5)
+
+
+def adversarialize(model, seed=0):
+    """Adversarial re-initialization for converter stress tests (VERDICT r2
+    #8): random-init parity can miss scale/statistics-dependent mapping bugs
+    (e.g. a running-mean/var swap is invisible when both are near their
+    defaults). Gives every layer numerics that make any mis-pairing loud:
+
+    - conv/linear weights rescaled by a random per-layer factor (and the
+      occasional sign flip), so magnitude-sensitive bugs shift outputs;
+    - ALL biases set nonzero ~ N(0, 1) (default-zero biases hide dropped or
+      swapped bias terms);
+    - BatchNorm running stats heavily skewed: mean ~ N(0, 5), var
+      log-uniform over ~[1e-2, 1e2], affine weight in [0.3, 3] with sign
+      flips — a mean/var or weight/bias mis-pairing changes outputs by
+      orders of magnitude instead of epsilons.
+    """
+    import torch
+    import torch.nn as nn
+    g = torch.Generator().manual_seed(seed)
+
+    def rnd(shape, lo, hi):
+        return torch.rand(shape, generator=g) * (hi - lo) + lo
+
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, (nn.BatchNorm1d, nn.BatchNorm2d, nn.BatchNorm3d)):
+                sign = torch.where(torch.rand(m.weight.shape, generator=g) < 0.2,
+                                   -1.0, 1.0)
+                m.weight.copy_(rnd(m.weight.shape, 0.5, 2.0) * sign)
+                m.bias.copy_(torch.randn(m.bias.shape, generator=g))
+                m.running_mean.copy_(
+                    torch.randn(m.running_mean.shape, generator=g) * 3.0)
+                # log-uniform var over ~[0.1, 10]: per-channel rsqrt factors
+                # up to ~3x make any mean/var mis-pairing loud without
+                # cascading 50-layer f32 blow-ups (deep nets multiply these)
+                m.running_var.copy_(torch.exp(rnd(m.running_var.shape,
+                                                  -2.3, 2.3)))
+            elif isinstance(m, (nn.Conv1d, nn.Conv2d, nn.Conv3d,
+                                nn.ConvTranspose2d, nn.Linear)):
+                scale = float(rnd((), 0.8, 1.25))
+                sign = torch.where(torch.rand(m.weight.shape, generator=g) < 0.05,
+                                   -1.0, 1.0)
+                m.weight.mul_(scale * sign)
+                if m.bias is not None:
+                    m.bias.copy_(torch.randn(m.bias.shape, generator=g))

@@ -16,7 +16,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from tests.ref_shims import add_ref_paths, randomize_bn_stats
+from tests.ref_shims import add_ref_paths, adversarialize, randomize_bn_stats
 
 torch = pytest.importorskip("torch")
 import torch.nn as tnn  # noqa: E402
@@ -75,12 +75,15 @@ def _torch_vgg19_features():
     return tnn.Sequential(*layers)
 
 
-def test_vgg19_converter_parity(tmp_path):
+@pytest.mark.parametrize("adversarial", [False, True])
+def test_vgg19_converter_parity(tmp_path, adversarial):
     from c2m_tpu.nn.vgg import TAPS, Vgg19Features, load_vgg19_params
     from tools.convert_vgg import convert
 
     torch.manual_seed(0)
     net = _torch_vgg19_features().eval()
+    if adversarial:
+        adversarialize(net, seed=21)
     sd = {f"features.{k}": v for k, v in net.state_dict().items()}
     npz = convert(sd)
     path = tmp_path / "vgg19.npz"
@@ -103,8 +106,10 @@ def test_vgg19_converter_parity(tmp_path):
                           zip(range(1, 6), (2, 2, 4, 4, 4))
                           for i in range(1, n + 1)]
     for tap, ref in zip(TAPS, taps_t):
-        np.testing.assert_allclose(from_nhwc_out(out[tap]), ref,
-                                   atol=2e-5, rtol=1e-4, err_msg=tap)
+        scale = max(np.abs(ref).max(), 1.0)
+        np.testing.assert_allclose(from_nhwc_out(out[tap]) / scale,
+                                   ref / scale, atol=2e-5, rtol=1e-4,
+                                   err_msg=tap)
 
 
 # ---------------------------------------------------------------------------
@@ -116,12 +121,15 @@ class _Args:
     rgb_max = 1.0
 
 
-def _flownet_pair(torch_cls, flax_cls, in_ch, prefix, seed):
+def _flownet_pair(torch_cls, flax_cls, in_ch, prefix, seed,
+                  adversarial=False):
     """Build random-init torch net + converted flax params."""
     from tools.convert_flownet2 import convert
     add_ref_paths()
     torch.manual_seed(seed)
     net = torch_cls(_Args(), use_batch_norm=False).eval()
+    if adversarial:
+        adversarialize(net, seed=seed + 100)
     sd = {f"{prefix}.{k}": v for k, v in net.state_dict().items()}
     params = convert(sd)[prefix]
     model = flax_cls()
@@ -131,25 +139,30 @@ def _flownet_pair(torch_cls, flax_cls, in_ch, prefix, seed):
     return net, model, params
 
 
-def _flownet_parity(torch_cls, flax_cls, in_ch, prefix, seed=0):
-    net, model, params = _flownet_pair(torch_cls, flax_cls, in_ch, prefix, seed)
+def _flownet_parity(torch_cls, flax_cls, in_ch, prefix, seed=0,
+                    adversarial=False):
+    net, model, params = _flownet_pair(torch_cls, flax_cls, in_ch, prefix,
+                                       seed, adversarial)
     x_t = torch.randn(1, in_ch, 64, 128) * 0.3
     with torch.no_grad():
         out_t = net(x_t)
     if isinstance(out_t, tuple):
         out_t = out_t[0]
+    want = out_t.numpy()
+    scale = max(np.abs(want).max(), 1.0)
     out_j = model.apply({"params": params}, jnp.asarray(to_nhwc(x_t)))
-    np.testing.assert_allclose(from_nhwc_out(out_j), out_t.numpy(),
+    np.testing.assert_allclose(from_nhwc_out(out_j) / scale, want / scale,
                                atol=1e-4, rtol=1e-3)
 
 
-def test_flownet_s_converter_parity():
+@pytest.mark.parametrize("adversarial", [False, True])
+def test_flownet_s_converter_parity(adversarial):
     add_ref_paths()
     from modules.third_party.flow_net.flownet2.networks.flownet_s import \
         FlowNetS as TorchS
     from c2m_tpu.models.flownet2 import FlowNetS
     _flownet_parity(TorchS, lambda: FlowNetS(input_channels=12), 12,
-                    "flownets_1")
+                    "flownets_1", adversarial=adversarial)
 
 
 def test_flownet_sd_converter_parity():
@@ -206,7 +219,8 @@ def test_flownet2_full_stack_parity():
 # SiamRPN++ (reference dep: pysot/pysot/models/model_builder.py:18-115)
 # ---------------------------------------------------------------------------
 
-def test_siamrpn_converter_parity():
+@pytest.mark.parametrize("adversarial", [False, True])
+def test_siamrpn_converter_parity(adversarial):
     add_ref_paths()
     from pysot.core.config import cfg
     cfg.BACKBONE.TYPE = "resnet50"
@@ -225,7 +239,7 @@ def test_siamrpn_converter_parity():
 
     torch.manual_seed(2)
     net = ModelBuilder().eval()
-    randomize_bn_stats(net, seed=3)
+    (adversarialize if adversarial else randomize_bn_stats)(net, seed=3)
     params, stats = convert(net.state_dict())
 
     model = SiamRPNpp()
@@ -253,7 +267,8 @@ def test_siamrpn_converter_parity():
 # hrnet.py:294 — the Panoptic-DeepLab backbone)
 # ---------------------------------------------------------------------------
 
-def test_hrnet48_converter_parity():
+@pytest.mark.parametrize("adversarial", [False, True])
+def test_hrnet48_converter_parity(adversarial):
     add_ref_paths()
     from segmentation.model.backbone.hrnet import hrnet48
     from tools.convert_panoptic import convert
@@ -261,7 +276,7 @@ def test_hrnet48_converter_parity():
 
     torch.manual_seed(4)
     net = hrnet48(pretrained=False).eval()
-    randomize_bn_stats(net, seed=5)
+    (adversarialize if adversarial else randomize_bn_stats)(net, seed=5)
     sd = {f"backbone.{k}": v for k, v in net.state_dict().items()}
     params, stats = convert(sd)
 
@@ -277,8 +292,10 @@ def test_hrnet48_converter_parity():
     out_j = model.apply({"params": params["backbone"],
                          "batch_stats": stats["backbone"]}, x_j)
     for key in ("res2", "res3", "res4", "res5"):
-        np.testing.assert_allclose(from_nhwc_out(out_j[key]),
-                                   out_t[key].numpy(),
+        want = out_t[key].numpy()
+        scale = max(np.abs(want).max(), 1.0)
+        np.testing.assert_allclose(from_nhwc_out(out_j[key]) / scale,
+                                   want / scale,
                                    atol=1e-4, rtol=1e-3, err_msg=key)
 
 
@@ -287,7 +304,8 @@ def test_hrnet48_converter_parity():
 # config/yolov3.cfg; loaded from the binary darknet format)
 # ---------------------------------------------------------------------------
 
-def test_yolov3_darknet_roundtrip_parity(tmp_path):
+@pytest.mark.parametrize("adversarial", [False, True])
+def test_yolov3_darknet_roundtrip_parity(tmp_path, adversarial):
     add_ref_paths()
     from modules.networks.yolo_v3.models import Darknet
     from c2m_tpu.eval.yolov3 import YoloV3, load_darknet_weights
@@ -295,7 +313,7 @@ def test_yolov3_darknet_roundtrip_parity(tmp_path):
     cfgp = "/root/reference/src/modules/networks/yolo_v3/config/yolov3.cfg"
     torch.manual_seed(6)
     net = Darknet(cfgp).eval()
-    randomize_bn_stats(net, seed=7)
+    (adversarialize if adversarial else randomize_bn_stats)(net, seed=7)
     wpath = tmp_path / "rand_yolov3.weights"
     net.save_darknet_weights(str(wpath))
 
@@ -318,14 +336,15 @@ def test_yolov3_darknet_roundtrip_parity(tmp_path):
 # replica in tests/torch_inception.py supplies the state_dict layout.
 # ---------------------------------------------------------------------------
 
-def test_inception_converter_parity():
+@pytest.mark.parametrize("adversarial", [False, True])
+def test_inception_converter_parity(adversarial):
     from tests.torch_inception import InceptionV3Trunk
     from tools.convert_inception import convert
     from c2m_tpu.eval.inception import InceptionV3Pool3
 
     torch.manual_seed(8)
     net = InceptionV3Trunk().eval()
-    randomize_bn_stats(net, seed=9)
+    (adversarialize if adversarial else randomize_bn_stats)(net, seed=9)
     params, stats = convert(net.state_dict())
 
     model = InceptionV3Pool3()
@@ -348,14 +367,15 @@ def test_inception_converter_parity():
 # consumes the public pytorch-i3d layout — torch replica in tests/torch_i3d)
 # ---------------------------------------------------------------------------
 
-def test_i3d_converter_parity():
+@pytest.mark.parametrize("adversarial", [False, True])
+def test_i3d_converter_parity(adversarial):
     from tests.torch_i3d import I3DTrunk
     from tools.convert_i3d import convert
     from c2m_tpu.eval.i3d import InceptionI3d
 
     torch.manual_seed(10)
     net = I3DTrunk().eval()
-    randomize_bn_stats(net, seed=11)
+    (adversarialize if adversarial else randomize_bn_stats)(net, seed=11)
     params, stats = convert(net.state_dict())
 
     model = InceptionI3d()
@@ -402,6 +422,8 @@ def test_panoptic_deeplab_full_converter_parity():
         instance_decoder_channels=128, instance_head_channels=32,
         instance_aspp_channels=256, instance_num_classes=(1, 2),
         instance_class_key=["center", "offset"]).eval()
+    # the full-model test keeps randomize_bn_stats; the backbone's
+    # adversarial variant runs in test_hrnet48_converter_parity
     randomize_bn_stats(net, seed=13)
     params, stats = convert(net.state_dict())
 

@@ -212,3 +212,40 @@ def test_warp_video_separable_matches_resample():
     got = np.asarray(warp_video_separable(jnp.asarray(src), jnp.asarray(th),
                                           sparse["winner_bw"]))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_winner_scan_matches_batched():
+    """The node-scanned winner (512x1024 memory path) must equal the batched
+    separable winner bit-for-bit — same interp matrices, same overwrite
+    order, no [B, N, T, H, W] materialization."""
+    from c2m_tpu.ops.raster import (_INTERIOR_EPS, _warp_masks_separable,
+                                    _winner_separable_scan)
+
+    rng = np.random.RandomState(11)
+    b, n, t, h, w = 2, 5, 3, 24, 40
+    inst = np.zeros((b, h, w), np.float32)
+    ids = np.zeros((b, n), np.int32)
+    for bi in range(b):
+        for k in range(n - 1):  # leave one padding node
+            x1, y1 = 2 + 6 * k, 2 + 3 * k
+            inst[bi, y1:y1 + 8, x1:x1 + 9] = 70 + k  # overlapping boxes
+            ids[bi, k] = 70 + k
+    th = np.zeros((b, n, t, 6), np.float32)
+    th[..., 0] = 1 + rng.randn(b, n, t) * 0.1
+    th[..., 4] = 1 + rng.randn(b, n, t) * 0.1
+    th[..., 2] = rng.randn(b, n, t) * 0.3
+    th[..., 5] = rng.randn(b, n, t) * 0.3
+    valid = jnp.asarray(ids != 0)
+
+    obj = (inst[:, None] == ids[:, :, None, None].astype(np.float32))
+    obj &= np.asarray(valid)[:, :, None, None]
+    obj_f = jnp.asarray(obj.astype(np.float32))
+    warped = _warp_masks_separable(obj_f, jnp.asarray(th))
+    covered = (np.asarray(warped) >= 1.0 - _INTERIOR_EPS)
+    covered &= np.asarray(valid)[:, :, None, None, None]
+    rank = np.arange(1, n + 1, dtype=np.int32)[None, :, None, None, None]
+    want = np.max(np.where(covered, rank, 0), axis=1)
+
+    got = np.asarray(_winner_separable_scan(obj_f, jnp.asarray(th), valid,
+                                            _INTERIOR_EPS))
+    np.testing.assert_array_equal(got, want)

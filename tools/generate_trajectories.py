@@ -88,18 +88,64 @@ def bbox_covers(mask_src, bbox_tgt):
     return float((cover * mask_src).sum() / denom) if denom else 0.0
 
 
-def match_instance(instances, bbox_tgt, cls_tgt):
+def match_instance(instances, bbox_tgt, cls_tgt, cover_thresh=COVER_THRESH):
     """generate_trajectory:153-181 — best coverage >= 0.8 with class match."""
-    best_idx, best = -1, (COVER_THRESH, -1.0)
+    best_idx, best = -1, (cover_thresh, -1.0)
     for i, (mask, bbox, cls, _) in enumerate(instances):
         if cls != cls_tgt or not np.all(np.array(bbox[2:]) > 0):
             continue
         cov = bbox_covers(mask, bbox_tgt)
-        if cov >= COVER_THRESH:
+        if cov >= cover_thresh:
             area = cov * mask.sum()
             if (cov, area) > best:
                 best, best_idx = (cov, area), i
     return best_idx
+
+
+def track_clip(frames, inst_lists, make_tracker, score_thresh=SCORE_THRESH,
+               cover_thresh=COVER_THRESH, track_len=TRACK_LEN):
+    """Track every first-frame instance through the clip and re-match.
+
+    The testable core of the reference's three-stage glue
+    (trajectory_generation_scripts/test_cityscapes.py:99-105 +
+    generate_trajectory_cityscapes.py:121-260):
+    - a track dies when best_score < score_thresh or the bbox degenerates;
+    - each tracked bbox is re-matched to the frame's instances (class match +
+      coverage >= cover_thresh, best by (coverage, area)); the MATCHED
+      instance bbox/iid is what gets written, not the raw tracker box;
+    - only complete track_len-frame tracks are kept (9-frame rule).
+
+    frames: list of HxWx3 uint8 arrays; inst_lists: per-frame
+    ``extract_instances`` output; make_tracker: (frame, bbox) -> object with
+    ``.track(frame) -> {"best_score", "bbox"}``.
+    Returns {iid: [row_str, ...]} with "x,y,w,h,iid" rows.
+    """
+    tracks = {}
+    for mask, bbox, cls, iid in inst_lists[0]:
+        tracker = make_tracker(frames[0], bbox)
+        boxes = [bbox]
+        ok = True
+        for f in range(1, track_len):
+            out = tracker.track(frames[f])
+            if out["best_score"] < score_thresh or \
+                    np.all(np.array(out["bbox"]) <= 0):
+                ok = False
+                break
+            boxes.append(out["bbox"])
+        if not ok:
+            continue
+        rows = [f"{','.join(f'{v}' for v in bbox)},{iid}"]
+        for f in range(1, track_len):
+            idx = match_instance(inst_lists[f], boxes[f], cls, cover_thresh)
+            if idx < 0:
+                ok = False
+                break
+            m_bbox = inst_lists[f][idx][1]
+            m_iid = inst_lists[f][idx][3]
+            rows.append(f"{','.join(f'{v}' for v in m_bbox)},{m_iid}")
+        if ok and len(rows) == track_len:
+            tracks[iid] = rows
+    return tracks
 
 
 def main():
@@ -111,6 +157,13 @@ def main():
     ap.add_argument("--out", required=True, help="tracking txt output root")
     ap.add_argument("--weights", default=None, help="SiamRPN++ weights npz")
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--score-thresh", type=float, default=SCORE_THRESH,
+                    help="track-kill threshold (reference 0.95, "
+                         "test_cityscapes.py:99-105); relax only for "
+                         "random-init smoke runs")
+    ap.add_argument("--cover-thresh", type=float, default=COVER_THRESH,
+                    help="instance-matching coverage (reference 0.8, "
+                         "generate_trajectory_cityscapes.py:153-181)")
     args = ap.parse_args()
 
     import jax
@@ -138,32 +191,16 @@ def main():
             for p in clip]
         frames = [np.array(Image.open(p).convert("RGB")) for p in clip]
         stem = os.path.basename(clip[0])[:-16]  # strip _leftImg8bit.png
-        for mask, bbox, cls, iid in inst_lists[0]:
+
+        def make_tracker(frame0, bbox):
             tracker = SiamRPNTracker(model, variables)
-            tracker.init(frames[0], bbox)
-            boxes = [bbox]
-            ok = True
-            for f in range(1, TRACK_LEN):
-                out = tracker.track(frames[f])
-                if out["best_score"] < SCORE_THRESH or \
-                        np.all(np.array(out["bbox"]) <= 0):
-                    ok = False
-                    break
-                boxes.append(out["bbox"])
-            if not ok:
-                continue
-            # re-match tracked boxes to per-frame instances
-            rows = [f"{','.join(f'{v}' for v in bbox)},{iid}"]
-            for f in range(1, TRACK_LEN):
-                idx = match_instance(inst_lists[f], boxes[f], cls)
-                if idx < 0:
-                    ok = False
-                    break
-                m_bbox = inst_lists[f][idx][1]
-                m_iid = inst_lists[f][idx][3]
-                rows.append(f"{','.join(f'{v}' for v in m_bbox)},{m_iid}")
-            if not ok or len(rows) != TRACK_LEN:
-                continue
+            tracker.init(frame0, bbox)
+            return tracker
+
+        tracks = track_clip(frames, inst_lists, make_tracker,
+                            score_thresh=args.score_thresh,
+                            cover_thresh=args.cover_thresh)
+        for iid, rows in tracks.items():
             out_dir = os.path.join(args.out, city)
             os.makedirs(out_dir, exist_ok=True)
             with open(os.path.join(out_dir, f"{stem}_{iid}.txt"), "w") as fh:
