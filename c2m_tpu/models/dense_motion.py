@@ -23,7 +23,7 @@ from flax import linen as nn
 from c2m_tpu.config import (DenseMotionDecoderParams, DenseMotionEncoderParams,
                             SparseMotionEncoderParams)
 from c2m_tpu.nn.layers import (Dense, DownBlock3d, SameBlock2d, SameBlock3d,
-                               UpBlock2d, fold_time, unfold_time)
+                               UpBlock2d, fold_time, leaky, unfold_time)
 from c2m_tpu.ops.warp import resample, resize_bilinear, resize_flow
 
 
@@ -72,20 +72,33 @@ class SparseMotionFeatureEncoder(nn.Module):
         return out
 
 
-class _PredictorHead(nn.Module):
-    """SameBlock2d(32) + reflect-pad conv head (motion_autoencoder.py:152-181)."""
-    out_channels: int
-    sigmoid: bool
+class _PredictorHeads(nn.Module):
+    """Fused flow + occlusion heads (motion_autoencoder.py:152-181).
+
+    The reference runs two independent SameBlock2d(32)+conv heads; both
+    read the same full-res feature map. With 32 channels in 128 lanes every
+    full-res pass pays a 4x padding tax (tools/roofline.py: the decoder is
+    HBM-bound), so the two block convs are fused into ONE 32->64 conv: the
+    dominant padded input is read once and the output lane-pads 2x instead
+    of 2x4x. Numerically identical to two separate heads — the kernel halves
+    are independent params and InstanceNorm stats are per-channel, so the
+    split reproduces each head's exact values.
+    """
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        x = SameBlock2d(32, kernel_size=3, strides=1, padding=1,
-                        padding_mode="reflect", dtype=self.dtype, name="block")(x)
-        from c2m_tpu.nn.layers import Conv
-        x = Conv(self.out_channels, 3, 1, 1, "reflect", dtype=self.dtype,
-                 name="head")(x)
-        return nn.sigmoid(x) if self.sigmoid else x
+        from c2m_tpu.nn.layers import Conv, InstanceNorm
+        h = Conv(64, 3, 1, 1, "reflect", dtype=self.dtype,
+                 name="block_conv")(x)
+        hf, ho = jnp.split(h, 2, axis=-1)
+        hf = leaky(InstanceNorm(name="norm_flow")(hf))
+        ho = leaky(InstanceNorm(name="norm_occ")(ho))
+        flow = Conv(2, 3, 1, 1, "reflect", dtype=self.dtype,
+                    name="flow_head")(hf)
+        occ = Conv(1, 3, 1, 1, "reflect", dtype=self.dtype,
+                   name="occ_head")(ho)
+        return flow, nn.sigmoid(occ)
 
 
 class DenseMotionDecoder(nn.Module):
@@ -176,8 +189,7 @@ class DenseMotionDecoder(nn.Module):
                           dtype=self.dtype, name="final_fuse")(
             jnp.concatenate([out, sparse_motion], axis=-1), train=train)
         flat, _ = fold_time(out)
-        flow = _PredictorHead(2, sigmoid=False, dtype=self.dtype, name="flow")(flat)
-        occ = _PredictorHead(1, sigmoid=True, dtype=self.dtype, name="occlusion")(flat)
+        flow, occ = _PredictorHeads(dtype=self.dtype, name="heads")(flat)
         return {"dense_motion": unfold_time(flow.astype(jnp.float32), t),
                 "occlusion": unfold_time(occ.astype(jnp.float32), t)}
 
@@ -221,10 +233,7 @@ class DenseMotionDecoder(nn.Module):
                                 name="final_fuse")(
                 jnp.concatenate([xu, sm_k], axis=-1), train=train)
             flat, _ = fold_time(fused)       # [B*k, H, W, oc]
-            flow = _PredictorHead(2, sigmoid=False, dtype=mdl.dtype,
-                                  name="flow")(flat)
-            occ = _PredictorHead(1, sigmoid=True, dtype=mdl.dtype,
-                                 name="occlusion")(flat)
+            flow, occ = _PredictorHeads(dtype=mdl.dtype, name="heads")(flat)
             return carry, (unfold_time(flow.astype(jnp.float32), k),
                            unfold_time(occ.astype(jnp.float32), k))
 

@@ -206,14 +206,37 @@ def generate_sparse_motion(instance: jnp.ndarray,
         warped = maskwarp_kernel.warp_masks(obj_f, thetas)
         interior_eps = 1e-4
     else:
-        def warp_one(mask_hw, theta6):
-            grid = affine_grid(_theta_rows(theta6), h, w)
-            return grid_sample_normalized(mask_hw[..., None], grid,
-                                          padding="zeros")[..., 0]
+        def warp_gather(masks, th):
+            def warp_one(mask_hw, theta6):
+                grid = affine_grid(_theta_rows(theta6), h, w)
+                return grid_sample_normalized(mask_hw[..., None], grid,
+                                              padding="zeros")[..., 0]
 
-        warp_nt = jax.vmap(jax.vmap(warp_one, in_axes=(None, 0)),
-                           in_axes=(0, 0))
-        warped = jax.vmap(warp_nt)(obj_f, thetas)                      # [B, N, T, H, W]
+            warp_nt = jax.vmap(jax.vmap(warp_one, in_axes=(None, 0)),
+                               in_axes=(0, 0))
+            return jax.vmap(warp_nt)(masks, th)            # [B, N, T, H, W]
+
+        from c2m_tpu.ops.pallas import maskwarp_banded
+        # use_pallas=False must mean NO pallas (the golden gather path);
+        # the banded kernel engages only on auto (None)
+        if (use_pallas is None and jax.default_backend() == "tpu"
+                and maskwarp_banded.supported(h, w)):
+            # high-res general path: banded window kernel when every tile's
+            # source span fits its prefetched window (true for the GNN's
+            # near-axis-aligned thetas); runtime cond falls back to the
+            # gather for outlier thetas, so exactness is unconditional.
+            # Hat-from-absolute-coords costs ~f32 eps at coord magnitude
+            # (~6e-5 at W=1024) -> same relaxed interior eps as the
+            # hat-contraction kernel above.
+            th2 = thetas.reshape(b * n, t, 6).astype(jnp.float32)
+            yb, xb, ok = maskwarp_banded.plan_windows(th2, h, w)
+            warped = jax.lax.cond(
+                ok,
+                lambda: maskwarp_banded.warp_masks(obj_f, thetas, yb, xb),
+                lambda: warp_gather(obj_f, thetas))
+            interior_eps = 1e-4
+        else:
+            warped = warp_gather(obj_f, thetas)
     if warped is not None:
         covered = warped >= (1.0 - interior_eps)
         covered = covered & valid[:, :, None, None, None]

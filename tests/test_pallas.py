@@ -228,3 +228,113 @@ def test_splat_kernel_height_guard():
     from c2m_tpu.ops import splat
     out = splat.occlusion_map(flow)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_maskwarp_banded_matches_gather():
+    """Banded window kernel (ops/pallas/maskwarp_banded.py) == the vmapped
+    grid_sample gather for general affines whose spans fit the windows —
+    the high-res (512x1024) general-raster path. Interpret mode on CPU."""
+    from unittest import mock
+    from jax.experimental import pallas as pl
+    from c2m_tpu.ops.pallas import maskwarp_banded as mb
+    from c2m_tpu.ops.raster import _theta_rows
+    from c2m_tpu.ops.warp import affine_grid, grid_sample_normalized
+
+    rng = np.random.RandomState(5)
+    b, n, t, h, w = 1, 2, 2, 64, 512
+    assert mb.supported(h, w)
+    masks = np.zeros((b, n, h, w), np.float32)
+    masks[0, 0, 10:40, 60:200] = 1.0
+    masks[0, 1, 25:60, 300:480] = 1.0
+    th = np.zeros((b, n, t, 6), np.float32)
+    th[..., 0] = 1.0 + rng.randn(b, n, t) * 0.2   # sx
+    th[..., 4] = 1.0 + rng.randn(b, n, t) * 0.2   # sy
+    th[..., 1] = rng.randn(b, n, t) * 0.05        # shear terms: general,
+    th[..., 3] = rng.randn(b, n, t) * 0.05        # near-axis-aligned
+    th[..., 2] = rng.randn(b, n, t) * 0.4
+    th[..., 5] = rng.randn(b, n, t) * 0.4
+    thj = jnp.asarray(th)
+    mj = jnp.asarray(masks)
+
+    yb, xb, ok = mb.plan_windows(thj.reshape(b * n, t, 6), h, w)
+    assert bool(ok), "crafted thetas must fit the windows"
+
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    with mock.patch.object(pl, "pallas_call", interp_call):
+        got = np.asarray(mb.warp_masks(mj, thj, yb, xb))
+
+    def warp_one(mask_hw, theta6):
+        grid = affine_grid(_theta_rows(theta6), h, w)
+        return grid_sample_normalized(mask_hw[..., None], grid,
+                                      padding="zeros")[..., 0]
+
+    want = np.asarray(jax.vmap(jax.vmap(
+        jax.vmap(warp_one, in_axes=(None, 0)), in_axes=(0, 0)))(mj, thj))
+    # hat built from absolute pixel coords: f32 eps at coord magnitude
+    # (~3e-5 at W=512) — why the raster relaxes interior_eps on this path
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_maskwarp_banded_nontrivial_windows():
+    """Windows that actually slide (H=256, W=1024: 8x4 window blocks):
+    translations push different tiles onto different source blocks."""
+    from unittest import mock
+    from jax.experimental import pallas as pl
+    from c2m_tpu.ops.pallas import maskwarp_banded as mb
+    from c2m_tpu.ops.raster import _theta_rows
+    from c2m_tpu.ops.warp import affine_grid, grid_sample_normalized
+
+    b, n, t, h, w = 1, 1, 2, 256, 1024
+    masks = np.zeros((b, n, h, w), np.float32)
+    masks[0, 0, 40:200, 100:900] = 1.0
+    th = np.zeros((b, n, t, 6), np.float32)
+    th[..., 0] = 0.8
+    th[..., 4] = 1.2
+    th[..., 1] = 0.02
+    th[..., 3] = -0.03
+    th[..., 2] = [0.5, -0.7]
+    th[..., 5] = [-0.4, 0.6]
+    thj = jnp.asarray(th)
+    mj = jnp.asarray(masks)
+    yb, xb, ok = mb.plan_windows(thj.reshape(b * n, t, 6), h, w)
+    assert bool(ok)
+    assert len(np.unique(np.asarray(yb))) > 1      # windows actually move
+    assert len(np.unique(np.asarray(xb))) > 1
+
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    with mock.patch.object(pl, "pallas_call", interp_call):
+        got = np.asarray(mb.warp_masks(mj, thj, yb, xb))
+
+    def warp_one(mask_hw, theta6):
+        grid = affine_grid(_theta_rows(theta6), h, w)
+        return grid_sample_normalized(mask_hw[..., None], grid,
+                                      padding="zeros")[..., 0]
+
+    want = np.asarray(jax.vmap(jax.vmap(
+        jax.vmap(warp_one, in_axes=(None, 0)), in_axes=(0, 0)))(mj, thj))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_maskwarp_banded_span_verdict():
+    """plan_windows flags thetas whose source span exceeds the window (big
+    rotation/shear) so the caller's lax.cond takes the gather path."""
+    from c2m_tpu.ops.pallas import maskwarp_banded as mb
+    h, w = 256, 1024
+    th = np.zeros((1, 1, 6), np.float32)
+    th[..., 0] = 1.0
+    th[..., 4] = 1.0
+    _, _, ok = mb.plan_windows(jnp.asarray(th), h, w)
+    assert bool(ok)
+    th[..., 3] = 2.0   # huge shear: sy spans far beyond one window
+    _, _, ok = mb.plan_windows(jnp.asarray(th), h, w)
+    assert not bool(ok)

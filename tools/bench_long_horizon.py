@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--tpred", type=int, default=10)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--scan-frames", type=int, default=2,
+                    help="frame-chunked full-res tail (0 = folded; the "
+                         "folded train step needs 26.7 GB vs 15.75 GB HBM)")
     args = ap.parse_args()
 
     from c2m_tpu.utils.jax_setup import setup_jax
@@ -49,6 +52,9 @@ def main():
     # without remat the 512x1024 train step needs 38.4 GB (measured) vs
     # 15.75 GB HBM; segment remat recomputes activations in the backward
     cfg.train_params.remat = True
+    # rematted-but-folded still needs 26.7 GB; the frame-chunked scan tail
+    # brings the donated step to 15.53 GB (tools/mem_train.py, round 3)
+    cfg.train_params.scan_frames = args.scan_frames
     cfg.validate()
 
     print(f"building batch {args.batch}x{args.h}x{args.w} tpred={args.tpred}",
@@ -89,43 +95,65 @@ def main():
             return acc
         return fused
 
-    # at 512x1024 even a K=2 fused loop exceeds the 16 GB HBM (XLA pads the
-    # full-res head tensors 6.4x in its chosen layout), so the slope trick is
-    # unavailable: time single dispatches with value fetch. The ~0.2 s tunnel
-    # RPC overhead is INCLUDED, i.e. the reported number is conservative.
-    f1 = make_fused(1)
-    t0 = time.time()
-    float(f1(variables, batch, click, key))
-    print(f"inference compile+run {time.time() - t0:.0f}s", flush=True)
-
     def timed(fn, seed):
         t0 = time.perf_counter()
         float(fn(variables, batch, click, jax.random.PRNGKey(seed)))
         return time.perf_counter() - t0
 
-    per = min(timed(f1, s) for s in (1, 2, 3))
-    fps = args.batch * args.tpred / per
-    print(f"INFERENCE: {per * 1e3:.1f} ms / batch{args.batch} "
-          f"-> {fps:.1f} frames/s/chip", flush=True)
+    # Slope protocol (STATUS round-2 doctrine): difference two fused-loop
+    # lengths so RPC + transfer overhead cancels. Round 2 couldn't run K>=2
+    # at 512x1024 (the folded tail's 6.4x-padded tensors blew HBM); the
+    # scan_frames tail fits, so the honest number is finally measurable.
+    f1 = make_fused(1)
+    t0 = time.time()
+    float(f1(variables, batch, click, key))
+    print(f"inference compile+run {time.time() - t0:.0f}s", flush=True)
+    per1 = min(timed(f1, s) for s in (1, 2, 3))
+    print(f"INFERENCE single-dispatch (incl. ~0.2s RPC): {per1 * 1e3:.1f} ms"
+          f" -> {args.batch * args.tpred / per1:.1f} f/s/chip", flush=True)
+    try:
+        k_small, k_big = 2, 6
+        fs, fb = make_fused(k_small), make_fused(k_big)
+        float(fs(variables, batch, click, key))
+        float(fb(variables, batch, click, key))
+        ts = min(timed(fs, 10 + s) for s in (0, 1, 2))
+        tb = min(timed(fb, 20 + s) for s in (0, 1, 2))
+        per = (tb - ts) / (k_big - k_small)
+        print(f"INFERENCE slope (K={k_small} vs {k_big}): {per * 1e3:.1f} ms"
+              f" / clip -> {args.batch * args.tpred / per:.1f} f/s/chip",
+              flush=True)
+        del fs, fb
+    except Exception as e:  # fused loop may still exceed HBM
+        print(f"slope protocol unavailable: {type(e).__name__} {e}",
+              flush=True)
 
     if args.skip_train:
         return
+    # free the inference model + compiled loops BEFORE the train step: the
+    # donated step peaks at 15.53 of 15.75 GB (tools/mem_train.py) — an
+    # extra resident set of inference params/executables OOMs the chip
+    del variables, f1
+    import gc
+    gc.collect()
+    jax.clear_caches()
 
     # ---- train step ------------------------------------------------------
     tm = C2MTrainModel(cfg)
     t0 = time.time()
     state = jax.jit(lambda k: create_train_state(cfg, tm, k, batch))(key)
     print(f"train state init {time.time() - t0:.0f}s", flush=True)
-    step = make_train_step(cfg, donate=False)
+    # donation is REQUIRED at this size: the new state aliases the old one's
+    # 4.24 GB of buffers (peak 15.53 vs 15.75 GB HBM — tools/mem_train.py)
+    step = make_train_step(cfg, donate=True)
     t0 = time.time()
-    state1, metrics = step(state, batch, jax.random.PRNGKey(1))
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
     tg = float(metrics["total_gen"])
     print(f"train compile+step {time.time() - t0:.0f}s total_gen={tg:.3f}",
           flush=True)
     times = []
     for s in (2, 3, 4):
         t0 = time.perf_counter()
-        _, m = step(state1, batch, jax.random.PRNGKey(s))
+        state, m = step(state, batch, jax.random.PRNGKey(s))
         float(m["total_gen"])
         times.append(time.perf_counter() - t0)
     # single-step timing incl. one RPC round trip; report min

@@ -14,6 +14,12 @@ import jax.numpy as jnp
 
 K_SMALL, K_BIG, REPEATS = 2, 10, 3
 B, N, T, H, W = 12, 8, 5, 128, 256
+if "--big" in sys.argv:
+    # the 512x1024 long-horizon general path: quadratic pallas kernel is
+    # size-gated off; auto routes to the banded window kernel
+    # (ops/pallas/maskwarp_banded.py) with the gather as its cond fallback
+    B, N, T, H, W = 1, 24, 10, 512, 1024
+    K_SMALL, K_BIG = 2, 6
 
 
 def slope(make_fused, *args):
@@ -49,6 +55,12 @@ def main():
     thetas = thetas.at[..., 0].set(1.0).at[..., 4].set(1.0)
     thetas = thetas.at[..., 2].set(
         jax.random.uniform(key, (B, N, T), minval=-0.05, maxval=0.05))
+    big = "--big" in sys.argv
+    shear = thetas.at[..., 1].set(
+        jax.random.uniform(jax.random.fold_in(key, 1), (B, N, T),
+                           minval=-0.02, maxval=0.02)).at[..., 3].set(
+        jax.random.uniform(jax.random.fold_in(key, 2), (B, N, T),
+                           minval=-0.02, maxval=0.02))
 
     def factory(axis_aligned, use_pallas):
         def make(k):
@@ -69,10 +81,18 @@ def main():
             return fused
         return make
 
-    for name, aa, up in [("separable(MXU)", True, None),
-                         ("general(pallas)", False, True),
-                         ("general(gather)", False, False)]:
-        t = slope(factory(aa, up), thetas)
+    if big:
+        # the quadratic kernel (use_pallas=True) is intentionally absent:
+        # O((H*W)^2) at this size. General runs use true shear terms.
+        variants = [("separable(MXU)", True, None, thetas),
+                    ("general(banded)", False, None, shear),
+                    ("general(gather)", False, False, shear)]
+    else:
+        variants = [("separable(MXU)", True, None, thetas),
+                    ("general(pallas)", False, True, thetas),
+                    ("general(gather)", False, False, thetas)]
+    for name, aa, up, th in variants:
+        t = slope(factory(aa, up), th)
         print(f"  {name:16s} {t:8.2f} ms", flush=True)
 
 

@@ -184,6 +184,140 @@ def bench_ours():
     return min(times)
 
 
+BATCH_TRAIN = 3    # the reference's train batch/GPU (yaml:166)
+TRAIN_ITERS = 2
+
+
+def build_reference_train_inputs(torch):
+    """Training batch = the inference batch + GT flow/occlusion targets
+    (reference train loader output, src/datasets/cityscapes.py:301-326)."""
+    inputs = build_reference_inputs(torch, None)
+    g = torch.Generator().manual_seed(1)
+
+    def cut(v):
+        return v[:BATCH_TRAIN] if torch.is_tensor(v) else v
+
+    data = {k: cut(v) for k, v in inputs.items()}
+    gnn = data["tracking_gnn"]
+    keep = BATCH_TRAIN * N_OBJ
+    edges = []
+    for b in range(BATCH_TRAIN):
+        off = b * N_OBJ
+        for i in range(N_OBJ):
+            for j in range(N_OBJ):
+                if i != j:
+                    edges.append((off + i, off + j))
+    gnn.x = gnn.x[:keep]
+    gnn.edge_index = torch.tensor(edges, dtype=torch.long).T
+    gnn.targets_theta = gnn.targets_theta[:keep]
+    gnn.batch = torch.arange(BATCH_TRAIN).repeat_interleave(N_OBJ)
+    gnn.num_nodes = keep
+    gnn.num_real_nodes = gnn.num_real_nodes[:BATCH_TRAIN]
+    gnn.source_frames_nodes_roi_padded = \
+        gnn.source_frames_nodes_roi_padded[:keep]
+    gnn.source_frames_nodes_instance_ids = \
+        gnn.source_frames_nodes_instance_ids[:keep]
+    data["target_bw_of"] = torch.randn((BATCH_TRAIN, 2, T_PRED, H, W),
+                                       generator=g) * 2.0
+    data["target_bw_occ"] = (torch.rand((BATCH_TRAIN, 1, T_PRED, H, W),
+                                        generator=g) > 0.2).float()
+    return data
+
+
+def bench_reference_train():
+    """The reference's actual hot loop: update_model = forward + 3 backwards
+    + 4 optimizer steps (src/trainer/trainer.py:138-168), unmodified
+    GeneratorFullModel in train mode on this CPU."""
+    import torch
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    from tests.ref_shims import add_ref_paths
+    add_ref_paths()
+    # the reference's perceptual loss builds torchvision vgg19(pretrained=
+    # True) (src/modules/layers/vgg.py:13); weights are zero-egress, and the
+    # timing doesn't depend on weight VALUES — serve the exact architecture
+    # with random init through the shim
+    import types as _types
+    import torchvision
+    from tests.test_converters import _torch_vgg19_features
+    torchvision.models.vgg19 = lambda *a, **k: _types.SimpleNamespace(
+        features=_torch_vgg19_features())
+    import yaml
+    with open("/root/reference/src/config/c2m_journal_cityscapes.yaml") as f:
+        cfg = yaml.safe_load(f)
+    from modules.model import GeneratorFullModel
+    train_params = dict(cfg["train_params"])
+    train_params["batch_size"] = BATCH_TRAIN
+    model_params = cfg["model_params"]
+    model_params["generator"].setdefault("use_spade", False)
+    torch.manual_seed(0)
+    c2m = GeneratorFullModel(train_params=train_params,
+                             model_params=model_params, is_inference=False,
+                             dataset=cfg["dataset_params"]["dataset"])
+    c2m.train()
+    data = build_reference_train_inputs(torch)
+    loss_weights = train_params["loss_weights"]
+
+    def update_model():
+        # trainer.py:138-168 verbatim flow
+        c2m.optimizer.zero_grad(set_to_none=True)
+        c2m.optimizer_gnn.zero_grad(set_to_none=True)
+        c2m.d_optimizer_image.zero_grad(set_to_none=True)
+        c2m.d_optimizer_video.zero_grad(set_to_none=True)
+        generated, loss_gen, loss_di, loss_dv = c2m(data)
+        loss = torch.tensor(0.)
+        for key in loss_gen:
+            loss = loss + loss_gen[key] * loss_weights[key]
+        ((loss_di.get("d_real", 0) + loss_di.get("d_fake", 0)) * 0.5).backward()
+        ((loss_dv.get("d_real", 0) + loss_dv.get("d_fake", 0)) * 0.5).backward()
+        loss.backward()
+        c2m.optimizer.step()
+        c2m.optimizer_gnn.step()
+        c2m.d_optimizer_image.step()
+        c2m.d_optimizer_video.step()
+        return float(loss.detach())
+
+    times = []
+    for i in range(TRAIN_ITERS + 1):
+        t0 = time.perf_counter()
+        total = update_model()
+        dt = time.perf_counter() - t0
+        if i > 0:
+            times.append(dt)
+        print(f"  reference train iter {i}: {dt:.2f} s (total_gen {total:.2f})",
+              file=sys.stderr, flush=True)
+    return min(times)
+
+
+def bench_ours_train():
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_platforms", "cpu")
+
+    from __graft_entry__ import _flagship_cfg
+    from c2m_tpu.data.synthetic import make_batch
+    from c2m_tpu.train.model import C2MTrainModel
+    from c2m_tpu.train.state import create_train_state
+    from c2m_tpu.train.step import make_train_step
+
+    cfg = _flagship_cfg(h=H, w=W, batch=BATCH_TRAIN, max_objects=N_OBJ,
+                        dtype="float32")
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg, seed=0).items()}
+    key = jax.random.PRNGKey(0)
+    state = create_train_state(cfg, C2MTrainModel(cfg), key, batch)
+    step = make_train_step(cfg, donate=False)
+    times = []
+    for i in range(TRAIN_ITERS + 1):
+        t0 = time.perf_counter()
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        total = float(metrics["total_gen"])   # fetch = sync
+        dt = time.perf_counter() - t0
+        if i > 0:
+            times.append(dt)
+        print(f"  ours train iter {i}: {dt:.2f} s (total_gen {total:.2f})",
+              file=sys.stderr, flush=True)
+    return min(times)
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     out = {"batch": BATCH, "hw": f"{H}x{W}", "frames": BATCH * T_PRED,
@@ -198,6 +332,13 @@ def main():
         out["c2m_tpu_jax_frames_per_sec"] = round(BATCH * T_PRED / t_ours, 3)
     if which == "both":
         out["speedup_same_cpu"] = round(t_ref / t_ours, 3)
+    if which in ("train", "both-train"):
+        t_ref = bench_reference_train()
+        out["train_batch"] = BATCH_TRAIN
+        out["reference_torch_train_s_per_step"] = round(t_ref, 3)
+        t_ours = bench_ours_train()
+        out["c2m_tpu_jax_train_s_per_step"] = round(t_ours, 3)
+        out["train_speedup_same_cpu"] = round(t_ref / t_ours, 3)
     print(json.dumps(out))
 
 

@@ -83,7 +83,9 @@ def main():
         tm = C2MTrainModel(cfg)
         state = jax.eval_shape(
             lambda k: create_train_state(cfg, tm, k, batch), key)
-        step = make_train_step(cfg, donate=False)
+        # donate the state exactly like the real train loop: the new state
+        # aliases the old one's buffers, so peak = temp + args
+        step = make_train_step(cfg, donate=True)
         t0 = time.time()
         lowered = step.lower(state, batch, key)
 
