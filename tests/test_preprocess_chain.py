@@ -39,7 +39,10 @@ CITY = "syntown"
 RAW_H, RAW_W = 128, 256          # the scene's "full-res" sequence
 TRAIN_H, TRAIN_W = 64, 128       # training resolution
 N_FRAMES = 30                    # one reference clip group
-CAR_IID = 26001                  # car = trainId 13? no: class id 26 (car)
+CAR_IID = 13001                  # car trainId 13 * label_divisor + 1: the
+# panoptic pipeline writes instance ids as trainId*1000+k
+# (generate_segmentation.py), and load_scene_nodes one-hots iid//1000 over
+# the 19 trainIds
 
 
 def _run_tool(tool, argv):
@@ -110,7 +113,11 @@ def test_a_generate_segmentation_contract(chain_root):
     inst = np.array(Image.open(os.path.join(out_inst, CITY, inst_files[0])))
     assert sem.shape == (RAW_H, RAW_W) and sem.dtype == np.uint8
     assert sem.max() <= 18                      # trainIds
-    assert inst.shape == (RAW_H, RAW_W) and inst.dtype == np.int32
+    # PNG carries the 32-bit map as 16-bit grayscale (PIL mode "I"); ids are
+    # cls*1000+k <= 18999, losslessly representable — same as real
+    # Cityscapes instanceIds pngs
+    assert inst.shape == (RAW_H, RAW_W)
+    assert inst.dtype in (np.uint16, np.int32), inst.dtype
     # thing instances are cls*1000+k with cls in 11..18 (label_divisor 1000)
     things = np.unique(inst[inst > 1000])
     assert all(11 <= v // 1000 <= 18 for v in things)
@@ -227,7 +234,8 @@ def test_b_full_chain_to_train_step(chain_root):
     th = item["targets_theta"][0]
     assert np.allclose(th[:, 0], 1.0) and np.allclose(th[:, 4], 1.0)
     assert (th[:, 2] < 0).all()                    # moving right -> dx < 0
-    batch = {k: jnp.asarray(v)[None] for k, v in item.items()}
+    batch = {k: jnp.asarray(v)[None] for k, v in item.items()
+             if not isinstance(v, str)}
 
     from c2m_tpu.train.model import C2MTrainModel
     from c2m_tpu.train.state import create_train_state

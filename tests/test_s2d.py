@@ -1,0 +1,88 @@
+"""Space-to-depth conv reformulation exactness (nn/s2d.py).
+
+Every routine must EQUAL its plain-layout counterpart — these are layout
+transforms of the same math (the TPU lane-filling path for full-res
+thin-channel stages; see tools/roofline.py for why)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from c2m_tpu.nn import s2d
+
+
+def _rand(shape, seed=0):
+    return jnp.asarray(np.random.RandomState(seed).randn(*shape)
+                       .astype(np.float32))
+
+
+def _plain_conv(x, w, bias, padding, mode):
+    from c2m_tpu.nn.layers import _pad_spatial
+    xp = _pad_spatial(x, [(padding, padding), (padding, padding)],
+                      mode if mode != "zeros" else "constant")
+    y = jax.lax.conv_general_dilated(
+        xp, w, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + bias if bias is not None else y
+
+
+def test_roundtrip():
+    x = _rand((2, 8, 12, 5))
+    np.testing.assert_array_equal(np.asarray(s2d.from_s2d(s2d.to_s2d(x))),
+                                  np.asarray(x))
+
+
+@pytest.mark.parametrize("k,mode", [(3, "reflect"), (3, "zeros"),
+                                    (7, "reflect"), (7, "zeros"),
+                                    (5, "reflect")])
+def test_conv_s2d_exact(k, mode):
+    b, h, w_, c, co = 2, 16, 24, 3, 4
+    x = _rand((b, h, w_, c), seed=k)
+    w = _rand((k, k, c, co), seed=k + 10) * 0.3
+    bias = _rand((co,), seed=k + 20)
+    want = _plain_conv(x, w, bias, k // 2, mode)
+    got = s2d.from_s2d(s2d.conv_s2d(s2d.to_s2d(x), w, bias, k // 2, mode))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["reflect", "zeros"])
+def test_downconv_s2d_exact(mode):
+    b, h, w_, c, co = 2, 16, 24, 3, 6
+    x = _rand((b, h, w_, c), seed=3)
+    w = _rand((4, 4, c, co), seed=13) * 0.3
+    bias = _rand((co,), seed=23)
+    from c2m_tpu.nn.layers import _pad_spatial
+    xp = _pad_spatial(x, [(1, 1), (1, 1)],
+                      mode if mode != "zeros" else "constant")
+    want = jax.lax.conv_general_dilated(
+        xp, w, window_strides=(2, 2), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+    got = s2d.downconv_s2d(s2d.to_s2d(x), w, bias, mode)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_upsample2x_to_s2d_exact():
+    from c2m_tpu.ops.warp import resize_bilinear
+    x = _rand((2, 9, 13, 4), seed=5)
+    want = resize_bilinear(x, (18, 26), align_corners=False)
+    got = s2d.from_s2d(s2d.upsample2x_to_s2d(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_norm_reshape_exact_stats():
+    """InstanceNorm on the phase-split 5D view == InstanceNorm on the plain
+    tensor (per-original-channel stats; the phase axis joins the spatial
+    reduction)."""
+    from c2m_tpu.nn.layers import InstanceNorm
+    x = _rand((2, 8, 12, 6), seed=7)
+    m = InstanceNorm(affine=False)
+    want = m.apply({}, x)
+    s = s2d.to_s2d(x)
+    got5 = m.apply({}, s2d.norm_nd_s2d(s))
+    got = s2d.from_s2d(s2d.denorm_nd_s2d(got5))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
