@@ -170,6 +170,48 @@ def conv_s2d(s: jnp.ndarray, w: jnp.ndarray, bias: Optional[jnp.ndarray],
     return out
 
 
+def conv_s2d_single(s: jnp.ndarray, w: jnp.ndarray,
+                    bias: Optional[jnp.ndarray], padding: int,
+                    padding_mode: str = "reflect", dtype=None) -> jnp.ndarray:
+    """conv_s2d as ONE dense conv emitting all four phases at once.
+
+    Kernel [sk, sk, 4C, 4Co] with structural zeros: 4x the original FLOPs
+    (vs conv_s2d's 1.8x across four calls), but a single MXU pass at
+    128-lane-filling channel counts and one output write — the variant that
+    trades spare MXU FLOPs for bytes. sk is the union of the phases'
+    supports (3 for k=3, 5 for k=7).
+    """
+    import jax
+    k = w.shape[0]
+    p = padding
+    assert k % 2 == 1 and p == k // 2, (k, p)
+    c, co = w.shape[2], w.shape[3]
+    u0 = min(_taps(py, k, p)[0] for py in (0, 1))
+    u1 = max(_taps(py, k, p)[0] + _taps(py, k, p)[1] - 1 for py in (0, 1))
+    sk = u1 - u0 + 1
+    pt = -u0
+    s_pad = _pad_s2d(s, pt, u1, pt, u1, padding_mode)
+    if dtype is not None:
+        s_pad = s_pad.astype(dtype)
+        w = w.astype(dtype)
+    kk = jnp.zeros((sk, sk, 2, 2, c, 2, 2, co), w.dtype)
+    for py in range(2):
+        for px in range(2):
+            for ky in range(k):
+                ry = py + ky - p
+                for kx in range(k):
+                    rx = px + kx - p
+                    kk = kk.at[ry // 2 - u0, rx // 2 - u0,
+                               ry & 1, rx & 1, :, py, px].set(w[ky, kx])
+    kk = kk.reshape(sk, sk, 4 * c, 4 * co)
+    y = jax.lax.conv_general_dilated(
+        s_pad, kk, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        y = y + jnp.tile(bias.astype(y.dtype), 4)
+    return y
+
+
 def downconv_s2d(s: jnp.ndarray, w: jnp.ndarray,
                  bias: Optional[jnp.ndarray], padding_mode: str = "reflect",
                  dtype=None) -> jnp.ndarray:

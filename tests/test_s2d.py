@@ -47,6 +47,20 @@ def test_conv_s2d_exact(k, mode):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("k,mode", [(3, "reflect"), (3, "zeros"),
+                                    (7, "reflect"), (5, "zeros")])
+def test_conv_s2d_single_exact(k, mode):
+    b, h, w_, c, co = 2, 16, 24, 3, 4
+    x = _rand((b, h, w_, c), seed=k)
+    w = _rand((k, k, c, co), seed=k + 10) * 0.3
+    bias = _rand((co,), seed=k + 20)
+    want = _plain_conv(x, w, bias, k // 2, mode)
+    got = s2d.from_s2d(
+        s2d.conv_s2d_single(s2d.to_s2d(x), w, bias, k // 2, mode))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
 @pytest.mark.parametrize("mode", ["reflect", "zeros"])
 def test_downconv_s2d_exact(mode):
     b, h, w_, c, co = 2, 16, 24, 3, 6

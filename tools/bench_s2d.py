@@ -76,11 +76,56 @@ def main():
         def packed(si):
             return s2d.conv_s2d(si, wk, bias, k // 2, mode, dtype=dt)
 
+        def packed1(si):
+            return s2d.conv_s2d_single(si, wk, bias, k // 2, mode, dtype=dt)
+
+        def inclusive(xi):
+            # the realistic single-conv wiring: conversion passes included
+            return s2d.from_s2d(
+                s2d.conv_s2d_single(s2d.to_s2d(xi), wk, bias, k // 2, mode,
+                                    dtype=dt))
+
         t_plain = slope(plain, x)
         t_s2d = slope(packed, s)
+        t_s2d1 = slope(packed1, s)
+        t_incl = slope(inclusive, x)
         print(f"  [{b},{h},{w_},{cin}]->{cout} k{k} {mode:8s} "
               f"plain {t_plain:7.2f} ms   s2d {t_s2d:7.2f} ms   "
-              f"({t_plain / max(t_s2d, 1e-9):.2f}x)", flush=True)
+              f"s2d1 {t_s2d1:7.2f} ms   s2d1+conv {t_incl:7.2f} ms   "
+              f"(plain/s2d1 {t_plain / max(t_s2d1, 1e-9):.2f}x, "
+              f"incl {t_plain / max(t_incl, 1e-9):.2f}x)", flush=True)
+
+    # chained realism: conv -> relu -> conv -> relu -> conv entirely in one
+    # form vs the other (one to_s2d at entry, one from_s2d at exit) — the
+    # wiring a real s2d tail segment would use
+    for b, h, w_, c in [(60, 128, 256, 32), (10, 512, 1024, 32)]:
+        x = jax.random.normal(key, (b, h, w_, c), dt)
+        ws = [jax.random.normal(jax.random.fold_in(key, i),
+                                (3, 3, c, c), jnp.float32) * 0.1
+              for i in range(3)]
+        bias = jnp.zeros((c,), jnp.float32)
+
+        def chain_plain(xi):
+            y = xi
+            for wi in ws:
+                yp = _pad_spatial(y, [(1, 1), (1, 1)], "reflect")
+                y = jax.nn.relu(jax.lax.conv_general_dilated(
+                    yp, wi.astype(dt), (1, 1), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC")))
+            return y
+
+        def chain_s2d(xi):
+            y = s2d.to_s2d(xi)
+            for wi in ws:
+                y = jax.nn.relu(
+                    s2d.conv_s2d_single(y, wi, bias, 1, "reflect", dtype=dt))
+            return s2d.from_s2d(y)
+
+        t_p = slope(chain_plain, x)
+        t_s = slope(chain_s2d, x)
+        print(f"  chain3 [{b},{h},{w_},{c}] k3 reflect  "
+              f"plain {t_p:7.2f} ms   s2d1 {t_s:7.2f} ms   "
+              f"({t_p / max(t_s, 1e-9):.2f}x)", flush=True)
 
 
 if __name__ == "__main__":
