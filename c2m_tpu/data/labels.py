@@ -48,13 +48,18 @@ LABELS = [
     Label("train",               31,  16, "vehicle",      True,  (0, 80, 100)),
     Label("motorcycle",          32,  17, "vehicle",      True,  (0, 0, 230)),
     Label("bicycle",             33,  18, "vehicle",      True,  (119, 11, 32)),
+    # negative id => never drawn in GT rasters (json2labelImg.py:91-92);
+    # present so polygon annotations naming it resolve (tools/prepare_gt_labels)
+    Label("license plate",       -1,  -1, "vehicle",      False, (0, 0, 142)),
 ]
 
-ID_TO_TRAINID = {l.id: l.trainId for l in LABELS}
-TRAINID_TO_NAME = {l.trainId: l.name for l in LABELS if l.trainId != 255}
-TRAINID_TO_COLOR = {l.trainId: l.color for l in LABELS if l.trainId != 255}
+ID_TO_TRAINID = {l.id: l.trainId for l in LABELS if l.id >= 0}
+TRAINID_TO_NAME = {l.trainId: l.name for l in LABELS
+                   if 0 <= l.trainId < 255}
+TRAINID_TO_COLOR = {l.trainId: l.color for l in LABELS
+                    if 0 <= l.trainId < 255}
 THING_TRAINIDS = tuple(sorted({l.trainId for l in LABELS
-                               if l.has_instances and l.trainId != 255}))
+                               if l.has_instances and 0 <= l.trainId < 255}))
 
 
 def id_to_trainid(arr):
