@@ -139,6 +139,13 @@ class TrainParams:
     # stats become per-chunk (the same class of regrouping as the
     # reference's unsynced per-GPU DDP BatchNorm); 0 = exact folded-batch
     # semantics (the 128x256 default).
+    s2d_tail: bool = False         # run the model's full-res conv segments
+    # (decoder final_up/final_fuse/heads, generator entry/exit) on the
+    # lane-filling space-to-depth form [.., H/2, W/2, 4C]. Exact
+    # reformulation with an identical parameter tree (nn/s2d_blocks.py);
+    # measured 2.4x faster + 4x less full-res activation HBM at 512x1024,
+    # SLOWER at 128x256 (tools/bench_s2d.py) — enable for long-horizon
+    # configs only.
 
     @property
     def num_frames(self) -> int:

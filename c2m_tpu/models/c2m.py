@@ -91,13 +91,13 @@ class C2MGenerator(nn.Module):
             me.dense_motion_decoder, tp.num_input_frames,
             tp.num_predicted_frames,
             sparse_down=me.sparse_motion_encoder.num_down_blocks, dtype=dtype,
-            scan_frames=tp.scan_frames)
+            scan_frames=tp.scan_frames, s2d_tail=tp.s2d_tail)
         if tp.use_fw_of:
             self.dense_generator_fw = maybe_remat(DenseMotionDecoder, 6)(
                 me.dense_motion_decoder, tp.num_input_frames,
                 tp.num_predicted_frames,
                 sparse_down=me.sparse_motion_encoder.num_down_blocks, dtype=dtype,
-                scan_frames=tp.scan_frames)
+                scan_frames=tp.scan_frames, s2d_tail=tp.s2d_tail)
         down = 2 ** mp.appearance_encoder.num_down_blocks
         self.h_app = int(tp.input_size[0] / down * mp.common_params.scale_factor)
         self.w_app = int(tp.input_size[1] / down * mp.common_params.scale_factor)
@@ -108,7 +108,8 @@ class C2MGenerator(nn.Module):
                                         padding_mode="reflect", dtype=dtype,
                                         name="zconv")
         self.generator = maybe_remat(OcclusionAwareGenerator, 4)(
-            mp.generator, mp.flow_embedder, dataset=self.dataset, dtype=dtype)
+            mp.generator, mp.flow_embedder, dataset=self.dataset, dtype=dtype,
+            s2d_tail=tp.s2d_tail)
 
     # -- shared pieces ------------------------------------------------------
 

@@ -101,6 +101,31 @@ class _PredictorHeads(nn.Module):
         return flow, nn.sigmoid(occ)
 
 
+class _PredictorHeadsS2d(nn.Module):
+    """_PredictorHeads on the s2d form (same param tree; phase-aware split).
+
+    Emits PLAIN-layout [B*, H, W, 2] flow and [B*, H, W, 1] occlusion."""
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from c2m_tpu.nn import s2d
+        from c2m_tpu.nn import s2d_blocks as sb
+        from c2m_tpu.nn.layers import InstanceNorm
+        h = sb.ConvS2d(64, 3, "reflect", dtype=self.dtype,
+                       name="block_conv")(x)
+        hf, ho = sb.split_s2d(h, [32, 32])
+        hf = leaky(s2d.denorm_nd_s2d(InstanceNorm(name="norm_flow")(
+            s2d.norm_nd_s2d(hf))))
+        ho = leaky(s2d.denorm_nd_s2d(InstanceNorm(name="norm_occ")(
+            s2d.norm_nd_s2d(ho))))
+        flow = s2d.from_s2d(sb.ConvS2d(2, 3, "reflect", dtype=self.dtype,
+                                       name="flow_head")(hf))
+        occ = s2d.from_s2d(sb.ConvS2d(1, 3, "reflect", dtype=self.dtype,
+                                      name="occ_head")(ho))
+        return flow, nn.sigmoid(occ)
+
+
 class DenseMotionDecoder(nn.Module):
     """Decode z -> per-frame dense flow + occlusion (motion_autoencoder.py:62-149).
 
@@ -118,6 +143,10 @@ class DenseMotionDecoder(nn.Module):
     # halo for the kt=3 time conv — same params/names as the folded path,
     # exact conv math; train-mode BN stats become per-chunk
     # (train_params.scan_frames, VERDICT r2 #1)
+    s2d_tail: bool = False  # run the full-res tail (final_up, final_fuse,
+    # heads) on the lane-filling space-to-depth form [.., H/2, W/2, 4C] —
+    # exact reformulation, same param tree (nn/s2d_blocks.py); measured
+    # 2.4x at 512x1024, slower at 128x256 (tools/bench_s2d.py)
 
     @nn.compact
     def __call__(self, appearance: Dict[str, jnp.ndarray],
@@ -180,6 +209,27 @@ class DenseMotionDecoder(nn.Module):
         if k and k < t and t > 2 and not self.is_initializing():
             return self._scan_tail(out, sparse_motion, train)
 
+        if self.s2d_tail:
+            from c2m_tpu.nn import s2d as _s2d
+            from c2m_tpu.nn import s2d_blocks as sb
+            x, _ = fold_time(out)
+            xs = sb.UpBlock2dS2d(p.out_channel, 3, p.padding_mode,
+                                 dtype=self.dtype,
+                                 name="final_up")(x, train=train)
+            vs = xs.reshape(-1, t, *xs.shape[1:])   # [B, T, H/2, W/2, 4oc]
+            sm_flat2, _ = fold_time(sparse_motion)
+            sm_s = _s2d.to_s2d(sm_flat2).reshape(
+                vs.shape[0], t, *vs.shape[2:4], -1)
+            fused = sb.SameBlock3dS2d(p.out_channel, (3, 3, 3), 1,
+                                      p.padding_mode, dtype=self.dtype,
+                                      name="final_fuse")(
+                sb.concat_s2d([vs, sm_s]), train=train)
+            flat = fused.reshape(-1, *fused.shape[2:])
+            flow, occ = _PredictorHeadsS2d(dtype=self.dtype,
+                                           name="heads")(flat)
+            return {"dense_motion": unfold_time(flow.astype(jnp.float32), t),
+                    "occlusion": unfold_time(occ.astype(jnp.float32), t)}
+
         x, _ = fold_time(out)
         x = UpBlock2d(p.out_channel, kernel_size=3, strides=1, padding=1,
                       padding_mode=p.padding_mode, dtype=self.dtype,
@@ -223,6 +273,26 @@ class DenseMotionDecoder(nn.Module):
             win, sm_k = xs                   # [B, k+2, h2, w2, C], [B, k+2, H, W, 2]
             d = mdl.params
             xf, _ = fold_time(win)
+            if mdl.s2d_tail:
+                from c2m_tpu.nn import s2d as _s2d
+                from c2m_tpu.nn import s2d_blocks as sb
+                ups = sb.UpBlock2dS2d(d.out_channel, 3, d.padding_mode,
+                                      dtype=mdl.dtype,
+                                      name="final_up")(xf, train=train)
+                vs = ups.reshape(-1, k + 2, *ups.shape[1:])
+                smf, _ = fold_time(sm_k)
+                sm_s = _s2d.to_s2d(smf).reshape(
+                    vs.shape[0], k + 2, *vs.shape[2:4], -1)
+                # time already halo-padded -> pad_t=0: t_out = k
+                fused = sb.SameBlock3dS2d(d.out_channel, (3, 3, 3), 0,
+                                          d.padding_mode, dtype=mdl.dtype,
+                                          name="final_fuse")(
+                    sb.concat_s2d([vs, sm_s]), train=train)
+                flat = fused.reshape(-1, *fused.shape[2:])
+                flow, occ = _PredictorHeadsS2d(dtype=mdl.dtype,
+                                               name="heads")(flat)
+                return carry, (unfold_time(flow.astype(jnp.float32), k),
+                               unfold_time(occ.astype(jnp.float32), k))
             xf = UpBlock2d(d.out_channel, kernel_size=3, strides=1, padding=1,
                            padding_mode=d.padding_mode, dtype=mdl.dtype,
                            name="final_up")(xf, train=train)

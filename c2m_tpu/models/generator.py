@@ -131,6 +131,9 @@ class OcclusionAwareGenerator(nn.Module):
     flow_params: FlowEmbedderParams
     dataset: str = "cityscapes"
     dtype: Optional[jnp.dtype] = None
+    s2d_tail: bool = False  # run the full-res entry/exit segments on the
+    # lane-filling space-to-depth form (nn/s2d_blocks.py): exact, same param
+    # tree; pays at >=512x512 (tools/bench_s2d.py), non-SPADE path only
 
     @nn.compact
     def __call__(self, first_frame: jnp.ndarray, flow: jnp.ndarray,
@@ -139,6 +142,12 @@ class OcclusionAwareGenerator(nn.Module):
         occlusion [B*, H, W, 1] -> generated RGB [B*, H, W, 3] in [0,1]."""
         p = self.params
         nd = p.num_down_blocks
+        use_s2d = (self.s2d_tail and not p.use_spade and nd > 0
+                   and first_frame.shape[1] % 2 == 0
+                   and first_frame.shape[2] % 2 == 0)
+        if use_s2d:
+            from c2m_tpu.nn import s2d as _s2d
+            from c2m_tpu.nn import s2d_blocks as sb
 
         flow_features = None
         if p.use_spade:
@@ -147,10 +156,20 @@ class OcclusionAwareGenerator(nn.Module):
             flow_features = FlowEmbedder(self.flow_params, dtype=self.dtype,
                                          name="flowembedder")(embed_in, train=train)
 
-        out = SameBlock2d(p.block_expansion, kernel_size=7, strides=1, padding=3,
-                          padding_mode=p.padding_mode, dtype=self.dtype,
-                          name="first")(first_frame)
-        for i in range(nd):
+        if use_s2d:
+            out = sb.SameBlock2dS2d(p.block_expansion, 7, p.padding_mode,
+                                    dtype=self.dtype,
+                                    name="first")(_s2d.to_s2d(first_frame))
+            feat0 = min(p.max_expansion, p.block_expansion * 2)
+            out = sb.DownBlock2dS2dIn(feat0, p.padding_mode, dtype=self.dtype,
+                                      name="down_0")(out, train=train)
+            down_start = 1
+        else:
+            out = SameBlock2d(p.block_expansion, kernel_size=7, strides=1,
+                              padding=3, padding_mode=p.padding_mode,
+                              dtype=self.dtype, name="first")(first_frame)
+            down_start = 0
+        for i in range(down_start, nd):
             features = min(p.max_expansion, p.block_expansion * (2 ** (i + 1)))
             out = DownBlock2d(features, 4, 2, 1, padding_mode=p.padding_mode,
                               dtype=self.dtype, name=f"down_{i}")(out, train=train)
@@ -162,10 +181,21 @@ class OcclusionAwareGenerator(nn.Module):
 
         if "kitti" in self.dataset:
             img_warp = apply_optical(first_frame, flow, None)
-            xw = SameBlock2d(p.block_expansion, 7, 1, 3,
-                             padding_mode=p.padding_mode, dtype=self.dtype,
-                             name="first_warped")(img_warp)
-            for i in range(nd):
+            if use_s2d:
+                xw = sb.SameBlock2dS2d(p.block_expansion, 7, p.padding_mode,
+                                       dtype=self.dtype,
+                                       name="first_warped")(_s2d.to_s2d(img_warp))
+                feat0 = min(p.max_expansion, p.block_expansion * 2)
+                xw = sb.DownBlock2dS2dIn(feat0, p.padding_mode,
+                                         dtype=self.dtype,
+                                         name="down_warped_0")(xw, train=train)
+                dw_start = 1
+            else:
+                xw = SameBlock2d(p.block_expansion, 7, 1, 3,
+                                 padding_mode=p.padding_mode, dtype=self.dtype,
+                                 name="first_warped")(img_warp)
+                dw_start = 0
+            for i in range(dw_start, nd):
                 features = min(p.max_expansion, p.block_expansion * (2 ** (i + 1)))
                 xw = DownBlock2d(features, 4, 2, 1, padding_mode=p.padding_mode,
                                  dtype=self.dtype,
@@ -177,6 +207,7 @@ class OcclusionAwareGenerator(nn.Module):
                               dtype=self.dtype, name="pre_decode")(
                 jnp.concatenate([out, xw * occ_r], axis=-1))
 
+        out_is_s2d = False
         for i in range(nd):
             features = min(p.max_expansion, p.block_expansion * (2 ** (nd - i - 1)))
             if p.use_spade:
@@ -187,10 +218,25 @@ class OcclusionAwareGenerator(nn.Module):
                                          name=f"up_{i}")(out, cond)
                 h, w = out.shape[1:3]
                 out = resize_bilinear(out, (h * 2, w * 2), align_corners=False)
+            elif (use_s2d and i == nd - 1
+                  and (out.shape[1] * 2, out.shape[2] * 2)
+                  == first_frame.shape[1:3]):
+                # last up emits the s2d form; the full-res tensor is never
+                # materialized in plain layout
+                out = sb.UpBlock2dS2d(features, 3, p.padding_mode,
+                                      dtype=self.dtype,
+                                      name=f"up_{i}")(out, train=train)
+                out_is_s2d = True
             else:
                 out = UpBlock2d(features, 3, 1, 1, padding_mode=p.padding_mode,
                                 dtype=self.dtype, name=f"up_{i}")(out, train=train)
-        if out.shape[1:3] != first_frame.shape[1:3]:
-            out = resize_bilinear(out, first_frame.shape[1:3], align_corners=False)
-        out = Conv(3, 7, 1, 3, "zeros", dtype=self.dtype, name="final")(out)
+        if out_is_s2d:
+            out = sb.ConvS2d(3, 7, "zeros", dtype=self.dtype,
+                             name="final")(out)
+            out = _s2d.from_s2d(out)
+        else:
+            if out.shape[1:3] != first_frame.shape[1:3]:
+                out = resize_bilinear(out, first_frame.shape[1:3],
+                                      align_corners=False)
+            out = Conv(3, 7, 1, 3, "zeros", dtype=self.dtype, name="final")(out)
         return nn.sigmoid(out.astype(jnp.float32))

@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--scan-frames", type=int, default=2,
                     help="frame-chunked full-res tail (0 = folded; the "
                          "folded train step needs 26.7 GB vs 15.75 GB HBM)")
+    ap.add_argument("--s2d", action="store_true",
+                    help="space-to-depth full-res tail (train_params."
+                         "s2d_tail): exact, measured 2.4x on the 512x1024 "
+                         "tail convs")
     args = ap.parse_args()
 
     from c2m_tpu.utils.jax_setup import setup_jax
@@ -55,6 +59,7 @@ def main():
     # rematted-but-folded still needs 26.7 GB; the frame-chunked scan tail
     # brings the donated step to 15.53 GB (tools/mem_train.py, round 3)
     cfg.train_params.scan_frames = args.scan_frames
+    cfg.train_params.s2d_tail = args.s2d
     cfg.validate()
 
     print(f"building batch {args.batch}x{args.h}x{args.w} tpred={args.tpred}",
