@@ -141,6 +141,86 @@ def _winner_separable_scan(obj_f: jnp.ndarray, thetas: jnp.ndarray,
     return winner
 
 
+def _occ_out_coords(thetas: jnp.ndarray, h: int, w: int, sign: float):
+    """Forward-splat target coords per node for axis-aligned thetas.
+
+    The rasterized flow at a pixel of node k is the pointwise affine flow
+    (``_pointwise_affine_flow``); forward-splatting displaces each source
+    pixel to ``x + sign*fx(x)`` — separable per axis when the theta
+    off-diagonals are zero. sign=+1 splats ``sparse_motion_bw`` (occ_fw),
+    sign=-1 splats ``sparse_motion_fw = -flow_fw`` (occ_bw).
+
+    thetas: [B, N, T, 6] -> ox [B, N, T, W], oy [B, N, T, H] (fp32).
+    """
+    th = thetas.astype(jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    bx_acf = (2.0 * xs + 1.0) / w - 1.0
+    by_acf = (2.0 * ys + 1.0) / h - 1.0
+    bx_ac1 = (jnp.linspace(-1.0, 1.0, w) if w > 1
+              else -jnp.ones((1,), jnp.float32))
+    by_ac1 = (jnp.linspace(-1.0, 1.0, h) if h > 1
+              else -jnp.ones((1,), jnp.float32))
+    gx = th[..., 0, None] * bx_acf + th[..., 2, None]          # [B, N, T, W]
+    gy = th[..., 4, None] * by_acf + th[..., 5, None]          # [B, N, T, H]
+    fx = (gx - bx_ac1) * ((w - 1.0) / 2.0)
+    fy = (gy - by_ac1) * ((h - 1.0) / 2.0)
+    return xs + sign * fx, ys + sign * fy
+
+
+def occlusion_mass_separable(winner: jnp.ndarray, thetas: jnp.ndarray,
+                             sign: float) -> jnp.ndarray:
+    """Forward-splat visibility mass of a rasterized piecewise-affine flow —
+    exactly ``splat.corresponding_map(base + flow)`` — as per-node banded
+    hat matmuls (axis-aligned thetas only; the hot path at use_gt_training /
+    use_gt_eval, where the XLA/Pallas scatter splat costs ~17 ms per
+    512x1024 map vs ~0.4 ms here).
+
+    The bilinear splat weight at integer out-pixel (p, o) from source (y, x)
+    is hat(oy(y)-p)*hat(ox(x)-o) (out-of-image corners get zero — which the
+    [0, size) hat matrix encodes for free since hat support is < 1), so the
+    mass restricted to node k's region factorizes:
+        mass_k = Sy_k^T @ mask_k @ Sx_k.
+    Background pixels carry zero flow and splat onto themselves with weight
+    one — their contribution IS the background mask.
+
+    winner: [B, T, H, W] (or t-independent [B, H, W]) int, 0 = background;
+    thetas: [B, N, T, 6] -> mass [B, T, H, W] fp32 (un-clipped).
+    """
+    n, t = thetas.shape[1:3]
+    static_regions = winner.ndim == 3                          # occ_bw case
+    if static_regions:
+        b, h, w = winner.shape
+    else:
+        b, _, h, w = winner.shape
+    ox, oy = _occ_out_coords(thetas, h, w, sign)
+
+    def body(carry, xs_):
+        mass, idx = carry
+        ox_n, oy_n = xs_                                       # [B,T,W], [B,T,H]
+        sx = _interp_matrix(ox_n, w)                           # [B, T, W, W]
+        sy = _interp_matrix(oy_n, h)                           # [B, T, H, H]
+        if static_regions:
+            mask = (winner == idx).astype(jnp.float32)         # [B, H, W]
+            tmp = jnp.einsum("byx,btxo->btyo", mask, sx,
+                             preferred_element_type=jnp.float32)
+        else:
+            mask = (winner == idx).astype(jnp.float32)         # [B, T, H, W]
+            tmp = jnp.einsum("btyx,btxo->btyo", mask, sx,
+                             preferred_element_type=jnp.float32)
+        mass = mass + jnp.einsum("btyp,btyo->btpo", sy, tmp,
+                                 preferred_element_type=jnp.float32)
+        return (mass, idx + 1), None
+
+    bg = (winner == 0).astype(jnp.float32)
+    if static_regions:
+        bg = jnp.broadcast_to(bg[:, None], (b, t, h, w))
+    (mass, _), _ = jax.lax.scan(
+        body, (bg, jnp.int32(1)),
+        (jnp.moveaxis(ox, 1, 0), jnp.moveaxis(oy, 1, 0)))
+    return mass
+
+
 def generate_sparse_motion(instance: jnp.ndarray,
                            inst_ids: jnp.ndarray,
                            node_mask: jnp.ndarray,
@@ -272,11 +352,21 @@ def generate_sparse_motion(instance: jnp.ndarray,
     sparse_fw = jnp.where(has_fw, -flow_fw_all, 0.0)
 
     # Occlusion maps by forward splat of the *other* direction's flow
-    # (dense_motion.py:147-152), binarized at 0.5.
-    occ_bw = splat.clip_mask(
-        splat.occlusion_map(sparse_fw.reshape(b * t, h, w, 2))).reshape(b, t, h, w, 1)
-    occ_fw = splat.clip_mask(
-        splat.occlusion_map(sparse_bw.reshape(b * t, h, w, 2))).reshape(b, t, h, w, 1)
+    # (dense_motion.py:147-152), binarized at 0.5. Axis-aligned thetas:
+    # the splat factorizes into per-node banded hat matmuls over the winner
+    # regions (occlusion_mass_separable) — same math, no scatter.
+    if axis_aligned:
+        occ_bw = splat.clip_mask(jnp.clip(
+            occlusion_mass_separable(winner_fw, thetas, sign=-1.0),
+            0.0, 1.0))[..., None]
+        occ_fw = splat.clip_mask(jnp.clip(
+            occlusion_mass_separable(winner_bw, thetas, sign=1.0),
+            0.0, 1.0))[..., None]
+    else:
+        occ_bw = splat.clip_mask(
+            splat.occlusion_map(sparse_fw.reshape(b * t, h, w, 2))).reshape(b, t, h, w, 1)
+        occ_fw = splat.clip_mask(
+            splat.occlusion_map(sparse_bw.reshape(b * t, h, w, 2))).reshape(b, t, h, w, 1)
 
     out = {
         "sparse_motion_bw": jax.lax.stop_gradient(sparse_bw),

@@ -249,3 +249,44 @@ def test_winner_scan_matches_batched():
     got = np.asarray(_winner_separable_scan(obj_f, jnp.asarray(th), valid,
                                             _INTERIOR_EPS))
     np.testing.assert_array_equal(got, want)
+
+
+def test_occlusion_separable_matches_scatter_splat():
+    """The axis-aligned occlusion maps (per-node banded hat matmuls,
+    occlusion_mass_separable) must binarize identically to the scatter
+    splat of the same rasterized flows (reference ops.py:263-275 path) —
+    the hat matrix over [0, size) encodes the out-of-image corner zeroing
+    for free, and zero-flow background splats onto itself."""
+    from c2m_tpu.ops import splat
+    from c2m_tpu.ops.raster import generate_sparse_motion
+
+    rng = np.random.RandomState(3)
+    b, n, t, h, w = 2, 5, 3, 48, 64
+    inst = np.zeros((b, h, w, 1), np.float32)
+    ids = np.zeros((b, n), np.int32)
+    for bi in range(b):
+        for k in range(n - 1):  # leave one padding node
+            iid = 1000 + bi * 100 + k
+            y, x = rng.randint(0, h - 12), rng.randint(0, w - 16)
+            inst[bi, y:y + 12, x:x + 16, 0] = iid
+            ids[bi, k] = iid
+    mask = ids != 0
+    th = np.zeros((b, n, t, 6), np.float32)
+    th[..., 0] = 1.0 + rng.uniform(-0.2, 0.2, (b, n, t))
+    th[..., 4] = 1.0 + rng.uniform(-0.2, 0.2, (b, n, t))
+    th[..., 2] = rng.uniform(-0.3, 0.3, (b, n, t))
+    th[..., 5] = rng.uniform(-0.3, 0.3, (b, n, t))
+
+    out = generate_sparse_motion(jnp.asarray(inst), jnp.asarray(ids),
+                                 jnp.asarray(mask), jnp.asarray(th),
+                                 compute_fw=True, axis_aligned=True)
+    ref_bw = splat.clip_mask(splat.occlusion_map(
+        out["sparse_motion_fw"].reshape(b * t, h, w, 2),
+        use_pallas=False)).reshape(b, t, h, w, 1)
+    ref_fw = splat.clip_mask(splat.occlusion_map(
+        out["sparse_motion_bw"].reshape(b * t, h, w, 2),
+        use_pallas=False)).reshape(b, t, h, w, 1)
+    np.testing.assert_array_equal(np.asarray(out["sparse_occ_bw"]),
+                                  np.asarray(ref_bw))
+    np.testing.assert_array_equal(np.asarray(out["sparse_occ_fw"]),
+                                  np.asarray(ref_fw))
