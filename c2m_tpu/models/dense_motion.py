@@ -24,6 +24,7 @@ from c2m_tpu.config import (DenseMotionDecoderParams, DenseMotionEncoderParams,
                             SparseMotionEncoderParams)
 from c2m_tpu.nn.layers import (Dense, DownBlock3d, SameBlock2d, SameBlock3d,
                                UpBlock2d, fold_time, leaky, unfold_time)
+from c2m_tpu.nn.s2d_blocks import s2d_auto as _s2d_auto
 from c2m_tpu.ops.warp import resample, resize_bilinear, resize_flow
 
 
@@ -185,13 +186,38 @@ class DenseMotionDecoder(nn.Module):
                     if x.shape[1:3] != (ah, aw):
                         x = resize_bilinear(x, (ah, aw), align_corners=False)
                     x = jnp.concatenate([x, app_rep], axis=-1)
-            x = UpBlock2d(out_features, kernel_size=3, strides=1, padding=1,
-                          padding_mode=p.padding_mode, dtype=self.dtype,
-                          name=f"up_{i}")(x, train=train)
+            # s2d execution of a big up stage: when the next fuse resizes
+            # straight back to this scale (the reference's up-then-down dance,
+            # motion_autoencoder.py:129-140), the UpBlock's 2x-upsampled
+            # full-res tensor never needs to exist in plain layout — the
+            # upsample goes straight to the s2d form, the conv+BN+leaky run
+            # lane-filled, and the fuse's bilinear half-resize is an exact
+            # combination of the four phases (nn/s2d.mean_pool_s2d). Bitwise
+            # path equality is pinned by tests/test_s2d.py; the gate mirrors
+            # the tail's measured crossover (s2d only pays at big grids).
+            h_up, w_up = 2 * x.shape[1], 2 * x.shape[2]
+            has_fuse = i >= nb - self.sparse_down
+            fuse_hw = None
+            if has_fuse:
+                sp = sparse_features[f"enco_sparse_{nb - i - 1}"]  # [B,T,h,w,C]
+                fuse_hw = (sp.shape[2], sp.shape[3])
+            use_s2d_stage = (self.s2d_tail and has_fuse
+                             and fuse_hw == x.shape[1:3]
+                             and _s2d_auto(h_up, w_up))
+            if use_s2d_stage:
+                from c2m_tpu.nn import s2d as _s2d_mod
+                from c2m_tpu.nn import s2d_blocks as _sb
+                xs = _sb.UpBlock2dS2d(out_features, 3, p.padding_mode,
+                                      dtype=self.dtype,
+                                      name=f"up_{i}")(x, train=train)
+                x = _s2d_mod.mean_pool_s2d(xs)        # plain [B*T, h, w, F]
+            else:
+                x = UpBlock2d(out_features, kernel_size=3, strides=1,
+                              padding=1, padding_mode=p.padding_mode,
+                              dtype=self.dtype, name=f"up_{i}")(x, train=train)
             out = unfold_time(x, t)
-            if i >= nb - self.sparse_down:
-                sp = sparse_features[f"enco_sparse_{nb - i - 1}"]  # [B, T, h, w, C]
-                sh, sw = sp.shape[2], sp.shape[3]
+            if has_fuse:
+                sh, sw = fuse_hw
                 if out.shape[2:4] != (sh, sw):
                     flat, _ = fold_time(out)
                     out = unfold_time(

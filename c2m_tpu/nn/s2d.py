@@ -267,6 +267,23 @@ def upsample2x_to_s2d(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(phases, axis=-1).astype(x.dtype)
 
 
+def mean_pool_s2d(s: jnp.ndarray) -> jnp.ndarray:
+    """Exact bilinear 2x DOWNsample (align_corners=False, torch semantics)
+    consuming the s2d form and emitting the PLAIN half-res tensor:
+    ``mean_pool_s2d(to_s2d(x)) == resize_bilinear(x, (H/2, W/2))`` bitwise.
+
+    For an exact 1/2 scale, torch bilinear samples src = 2*dst + 0.5 with
+    weights (0.5, 0.5) — a 2x2 average, i.e. a combination of the four s2d
+    phases. The arithmetic below replicates ops/warp.resize_bilinear's
+    generic path exactly (rows lerp first, then cols, same dtype) so the
+    equality is bitwise, not just numerical."""
+    p = _phase_split(s)                       # [..., qy, qx, C]
+    half = jnp.asarray(0.5, s.dtype)
+    ra = p[..., 0, 0, :] + (p[..., 1, 0, :] - p[..., 0, 0, :]) * half
+    rb = p[..., 0, 1, :] + (p[..., 1, 1, :] - p[..., 0, 1, :]) * half
+    return ra + (rb - ra) * half
+
+
 def norm_nd_s2d(s: jnp.ndarray) -> jnp.ndarray:
     """Reshape hook for norms: [..., 4C] -> [..., 4, C] so a per-last-axis
     norm (BatchNorm/InstanceNorm reducing every non-channel axis) computes

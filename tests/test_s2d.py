@@ -87,6 +87,49 @@ def test_upsample2x_to_s2d_exact():
                                atol=1e-6, rtol=1e-6)
 
 
+def test_mean_pool_s2d_bitwise():
+    """mean_pool_s2d == bilinear 2x downsample (torch align_corners=False),
+    bitwise — the arithmetic replicates resize_bilinear's generic path."""
+    from c2m_tpu.ops.warp import resize_bilinear
+    for dtype in (jnp.float32, jnp.bfloat16):
+        x = _rand((3, 10, 14, 5), seed=11).astype(dtype)
+        want = resize_bilinear(x, (5, 7), align_corners=False)
+        got = s2d.mean_pool_s2d(s2d.to_s2d(x))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_decoder_s2d_stage_matches_plain():
+    """The decoder's s2d up-stage (UpBlock2dS2d + phase-mean instead of
+    UpBlock2d + bilinear half-resize, models/dense_motion.py) equals the
+    plain path on one variable tree — the pyramid extension of the tail's
+    exactness guarantee."""
+    import flax.linen as nn
+    from c2m_tpu.nn import s2d_blocks as sb
+    from c2m_tpu.nn.layers import UpBlock2d
+    from c2m_tpu.ops.warp import resize_bilinear
+
+    x = _rand((4, 8, 12, 6), seed=21)
+
+    class Plain(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            y = UpBlock2d(5, 3, 1, 1, "reflect", name="up")(x, train=False)
+            return resize_bilinear(y, (x.shape[1], x.shape[2]),
+                                    align_corners=False)
+
+    class S2dPath(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            ys = sb.UpBlock2dS2d(5, 3, "reflect", name="up")(x, train=False)
+            return s2d.mean_pool_s2d(ys)
+
+    variables = Plain().init(jax.random.PRNGKey(0), x)
+    want = Plain().apply(variables, x)
+    got = S2dPath().apply(variables, x)   # same tree — param names match
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_norm_reshape_exact_stats():
     """InstanceNorm on the phase-split 5D view == InstanceNorm on the plain
     tensor (per-original-channel stats; the phase axis joins the spatial

@@ -58,6 +58,9 @@ def main():
         (60, 128, 256, 3, 32, 7, "reflect"),    # generator first
         (60, 128, 256, 32, 3, 7, "zeros"),      # generator final
         (10, 512, 1024, 32, 32, 3, "reflect"),  # long-horizon tail
+        (10, 512, 1024, 96, 32, 3, "reflect"),  # decoder pyr i=4 up conv
+        (10, 256, 512, 192, 64, 3, "reflect"),  # decoder pyr i=3 up conv
+        (10, 256, 512, 64, 128, 3, "reflect"),  # generator mid shapes
     ]
     for b, h, w_, cin, cout, k, mode in cases:
         x = jax.random.normal(key, (b, h, w_, cin), dt)
