@@ -186,6 +186,10 @@ class DenseMotionDecoder(nn.Module):
                     if x.shape[1:3] != (ah, aw):
                         x = resize_bilinear(x, (ah, aw), align_corners=False)
                     x = jnp.concatenate([x, app_rep], axis=-1)
+                else:
+                    # reference parity: up_input = out (the post-fuse tensor,
+                    # motion_autoencoder.py:134-135), not the previous loop's x
+                    x, _ = fold_time(out)
             # s2d execution of a big up stage: when the next fuse resizes
             # straight back to this scale (the reference's up-then-down dance,
             # motion_autoencoder.py:129-140), the UpBlock's 2x-upsampled

@@ -117,3 +117,38 @@ def test_inference(cfg, state, batch):
     assert out["generated"].shape == (b, cfg.train_params.num_predicted_frames,
                                       *cfg.train_params.input_size, 3)
     assert np.isfinite(np.asarray(out["generated"])).all()
+
+
+def test_decoder_without_appearance_consumes_every_fuse():
+    """use_appearance_feature=False parity quirk: each up stage's input is
+    the POST-FUSE tensor (reference motion_autoencoder.py:134-135
+    ``up_input = out``). Regression for a stale-x bug where every non-last
+    fuse output was dead code on this path: perturbing an early sparse
+    pyramid level must change the decoder output."""
+    from c2m_tpu.config import DenseMotionDecoderParams
+    from c2m_tpu.models.dense_motion import DenseMotionDecoder
+
+    p = DenseMotionDecoderParams(in_channel=8, out_channel=4,
+                                 block_expansion=4, max_expansion=16,
+                                 num_up_blocks=3,
+                                 use_appearance_feature=False,
+                                 use_feature_resample=False)
+    dec = DenseMotionDecoder(p, 1, 2, sparse_down=3)
+    rs = np.random.RandomState(0)
+    z = jnp.asarray(rs.randn(1, 2, 2, 2, 8).astype(np.float32))
+    sm = jnp.asarray(rs.randn(1, 2, 32, 32, 2).astype(np.float32))
+    so = jnp.asarray(rs.randn(1, 2, 32, 32, 1).astype(np.float32))
+    sp = {f"enco_sparse_{m}": jnp.asarray(
+        rs.randn(1, 2, 32 // 2 ** (m + 1), 32 // 2 ** (m + 1),
+                 4 * 2 ** m).astype(np.float32)) for m in range(3)}
+    variables = dec.init(jax.random.PRNGKey(0), {}, sp, sm, so, z,
+                         train=False)
+    out0 = dec.apply(variables, {}, sp, sm, so, z, train=False)
+    # perturb the FIRST consumed (non-last) fuse level
+    sp2 = dict(sp)
+    sp2["enco_sparse_2"] = sp["enco_sparse_2"] + 1.0
+    out1 = dec.apply(variables, {}, sp2, sm, so, z, train=False)
+    d = np.abs(np.asarray(out1["dense_motion"]) -
+               np.asarray(out0["dense_motion"])).max()
+    assert np.isfinite(np.asarray(out0["dense_motion"])).all()
+    assert d > 1e-6, "early fuse output is dead — stale up-stage input"
