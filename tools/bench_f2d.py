@@ -56,26 +56,7 @@ def slope(op, *args):
     return (tb - ts) / (K_BIG - K_SMALL) * 1e3
 
 
-def to_f2d(x, g):
-    bt, h, w, c = x.shape
-    assert bt % g == 0
-    x = x.reshape(bt // g, g, h, w, c)
-    return jnp.moveaxis(x, 1, 3).reshape(bt // g, h, w, g * c)
-
-
-def from_f2d(y, g):
-    b, h, w, gc = y.shape
-    c = gc // g
-    y = y.reshape(b, h, w, g, c)
-    return jnp.moveaxis(y, 3, 1).reshape(b * g, h, w, c)
-
-
-def blockdiag_kernel(w, g):
-    k0, k1, c, co = w.shape
-    kk = jnp.zeros((k0, k1, g * c, g * co), w.dtype)
-    for i in range(g):
-        kk = kk.at[:, :, i * c:(i + 1) * c, i * co:(i + 1) * co].set(w)
-    return kk
+from c2m_tpu.nn.f2d import blockdiag_kernel, from_f2d, to_f2d  # noqa: E402
 
 
 def main():
