@@ -231,3 +231,67 @@ def test_full_model_inference_parity(converted):
     assert (d > 1e-2).mean() < 0.05
     d = np.abs(np.asarray(out["occlusion_bw"]) - cl(out_ref["occlusion_bw"]))
     assert d.mean() < 1e-3 and (d > 5e-2).mean() < 0.005
+
+
+@pytest.mark.skipif(__import__("os").environ.get("C2M_HEAVY_TESTS") != "1",
+                    reason="set C2M_HEAVY_TESTS=1")
+def test_convert_cli_roundtrip(converted, tmp_path):
+    """The CLI path: torch .pth.tar payload -> framework checkpoint dir that
+    utils/checkpoint.load_checkpoint restores (what test.py consumes)."""
+    import sys
+    cfg, tree, _, _, _ = converted
+    # fake reference checkpoint: the trainer's save format (trainer.py:245)
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    add_ref_paths()
+    tp, mp = _ref_cfg()
+    import torchvision
+    from tests.test_converters import _torch_vgg19_features
+    torchvision.models.vgg19 = lambda *a, **k: types.SimpleNamespace(
+        features=_torch_vgg19_features())
+    from modules.model import GeneratorFullModel
+    torch.manual_seed(0)
+    c2m = GeneratorFullModel(train_params=tp, model_params=mp,
+                             is_inference=False, dataset="cityscapes")
+    pth = tmp_path / "latest_c2m_model.pth.tar"
+    torch.save({"c2m": c2m.state_dict()}, pth)
+
+    import yaml as _yaml
+    with open("configs/c2m_journal_cityscapes.yaml") as f:
+        ycfg = _yaml.safe_load(f)
+    ycfg["dataset_params"]["dataset"] = "synthetic"
+    ycfg["dataset_params"]["max_objects"] = N_OBJ
+    ycfg["train_params"]["batch_size"] = 1
+    ycfg["name"] = "conv_cli"
+    ypath = tmp_path / "cfg.yaml"
+    with open(ypath, "w") as f:
+        _yaml.safe_dump(ycfg, f)
+
+    from tools import convert_c2m
+    out_dir = tmp_path / "jobdir"
+    argv = sys.argv
+    sys.argv = ["convert_c2m", "--checkpoint", str(pth),
+                "--config", str(ypath), "--out", str(out_dir)]
+    try:
+        convert_c2m.main()
+    finally:
+        sys.argv = argv
+
+    from c2m_tpu.config import Config
+    from c2m_tpu.data.synthetic import make_batch
+    from c2m_tpu.train.model import C2MTrainModel
+    from c2m_tpu.train.state import create_train_state
+    from c2m_tpu.utils.checkpoint import load_checkpoint
+    lcfg = Config.from_yaml(str(ypath))
+    batch = {k: jnp.asarray(v) for k, v in
+             make_batch(lcfg, batch_size=1, seed=0).items()}
+    state = create_train_state(lcfg, C2MTrainModel(lcfg),
+                               jax.random.PRNGKey(0), batch)
+    state, epoch, _ = load_checkpoint(str(out_dir), state)
+    # restored params equal the converted tree (spot-check one deep leaf)
+    got = np.asarray(state.params["c2m"]["generator"]["final"]["Conv_0"]["kernel"])
+    want = _np_conv2d(c2m.state_dict()["generator.final.0.weight"].numpy())
+    np.testing.assert_array_equal(got, want)
+
+
+def _np_conv2d(w):
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))

@@ -402,19 +402,44 @@ def main():
     args = ap.parse_args()
 
     import torch
-    from c2m_tpu.config import load_config
-    cfg = load_config(args.config)
+    from c2m_tpu.config import Config
+    cfg = Config.from_yaml(args.config)
     blob = torch.load(args.checkpoint, map_location="cpu")
     sd = blob.get("c2m", blob)   # trainer saves {"c2m": state_dict, ...}
     sd = {k: v.numpy() for k, v in sd.items()}
     tree = convert_state_dict(sd, cfg)
 
+    # Write a REAL framework checkpoint (fresh optimizer state, step 0) so
+    # `test.py --job-dir <out>` / `train.py --continue` consume it directly.
+    import jax
     import jax.numpy as jnp
-    import orbax.checkpoint as ocp
-    tree = {k: {kk: vv for kk, vv in v.items()} for k, v in tree.items()}
-    ckpt = ocp.PyTreeCheckpointer()
-    ckpt.save(args.out, tree)
-    print(f"wrote {args.out}")
+    from c2m_tpu.data.synthetic import make_batch
+    from c2m_tpu.train.model import C2MTrainModel
+    from c2m_tpu.train.state import create_train_state
+    from c2m_tpu.utils.checkpoint import save_checkpoint
+    init_cfg = cfg
+    batch = {k: jnp.asarray(v) for k, v in
+             make_batch(init_cfg, batch_size=1, seed=0).items()}
+    state = create_train_state(init_cfg, C2MTrainModel(init_cfg),
+                               jax.random.PRNGKey(0), batch)
+    def merge(init, conv):
+        """Deep-merge converted values over fresh init — an is_inference=True
+        source lacks VGG/discriminators; those keep their init."""
+        if not isinstance(conv, dict):
+            return jnp.asarray(conv)
+        out = dict(init)
+        for k, v in conv.items():
+            out[k] = merge(init[k], v)
+        return out
+
+    from flax import core
+    state = state.replace(
+        params=merge(core.unfreeze(state.params), tree["params"]),
+        batch_stats=merge(core.unfreeze(state.batch_stats),
+                          tree["batch_stats"]),
+        spectral=merge(core.unfreeze(state.spectral), tree["spectral"]))
+    save_checkpoint(args.out, state, epoch=0)
+    print(f"wrote framework checkpoint to {args.out}")
 
 
 if __name__ == "__main__":
