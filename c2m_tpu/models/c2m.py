@@ -54,7 +54,8 @@ class C2MGenerator(nn.Module):
     """Generator-side model (everything the reference's 'vae' + 'gnn'
     optimizers train: appearance encoder, dense motion network, generator)."""
     cfg: Config
-    dataset: str = "cityscapes"
+    dataset: str = ""  # "" -> cfg.dataset_params.dataset (the KITTI variant
+    # keys its extra generator branch on the dataset name)
 
     def setup(self):
         cfg = self.cfg
@@ -108,7 +109,8 @@ class C2MGenerator(nn.Module):
                                         padding_mode="reflect", dtype=dtype,
                                         name="zconv")
         self.generator = maybe_remat(OcclusionAwareGenerator, 4)(
-            mp.generator, mp.flow_embedder, dataset=self.dataset, dtype=dtype,
+            mp.generator, mp.flow_embedder,
+            dataset=self.dataset or cfg.dataset_params.dataset, dtype=dtype,
             s2d_tail=tp.s2d_tail)
 
     # -- shared pieces ------------------------------------------------------

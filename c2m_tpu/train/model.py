@@ -31,7 +31,7 @@ Batch = Dict[str, jnp.ndarray]
 
 class C2MTrainModel(nn.Module):
     cfg: Config
-    dataset: str = "cityscapes"
+    dataset: str = ""  # "" -> cfg.dataset_params.dataset
 
     def setup(self):
         cfg = self.cfg

@@ -346,6 +346,23 @@ def convert_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Dict]:
     t.p(base + ["final", "Conv_0", "kernel"],
         _conv2d(src.take("generator.final.0.weight")))
     t.p(base + ["final", "Conv_0", "bias"], src.take("generator.final.0.bias"))
+    if src.has("generator.first_warped.conv.weight"):
+        # KITTI warped-image encoder branch (reference generator.py:37-48)
+        t.p(base + ["first_warped", "Conv_0", "Conv_0", "kernel"],
+            _conv2d(src.take("generator.first_warped.conv.weight")))
+        t.p(base + ["first_warped", "Conv_0", "Conv_0", "bias"],
+            src.take("generator.first_warped.conv.bias"))
+        _inorm(src, t, "generator.first_warped.norm",
+               base + ["first_warped", "InstanceNorm_0"])
+        for i in range(mp.generator.num_down_blocks):
+            _conv_block2d(src, t, f"generator.down_blocks_warped.{i}",
+                          base + [f"down_warped_{i}"])
+        t.p(base + ["pre_decode", "Conv_0", "Conv_0", "kernel"],
+            _conv2d(src.take("generator.pre_decode.0.conv.weight")))
+        t.p(base + ["pre_decode", "Conv_0", "Conv_0", "bias"],
+            src.take("generator.pre_decode.0.conv.bias"))
+        _inorm(src, t, "generator.pre_decode.0.norm",
+               base + ["pre_decode", "InstanceNorm_0"])
 
     # ---- VGG19 (perceptual loss; absent from is_inference=True models) --------
     vgg_layout = [(1, 1, 0), (1, 2, 2), (2, 1, 5), (2, 2, 7), (3, 1, 10),
