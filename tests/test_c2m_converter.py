@@ -358,3 +358,56 @@ def test_kitti_model_inference_parity(converted_kitti):
     d = np.abs(got_gen - ref_gen)
     assert d.max() < 1e-2 and (d > 1e-3).mean() < 0.05, (
         d.max(), (d > 1e-3).mean())
+
+
+@pytest.fixture(scope="module")
+def converted_spade():
+    """use_spade=True family: SPADE residual up blocks + FlowEmbedder."""
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    add_ref_paths()
+    tp, mp = _ref_cfg()
+    mp = {**mp, "generator": {**mp["generator"], "use_spade": True}}
+    import torchvision
+    from tests.test_converters import _torch_vgg19_features
+    torchvision.models.vgg19 = lambda *a, **k: types.SimpleNamespace(
+        features=_torch_vgg19_features())
+    from modules.model import GeneratorFullModel
+    torch.manual_seed(2)
+    c2m = GeneratorFullModel(train_params=tp, model_params=mp,
+                             is_inference=False, dataset="cityscapes")
+    randomize_bn_stats(c2m, seed=13)
+    c2m.eval()
+    ref_in, our_batch = _build_inputs(integer_disp=True)
+    iug = torch.arange(B, dtype=torch.long) * N_OBJ
+    z_m = torch.randn((B, 1024), generator=torch.Generator().manual_seed(5))
+    with torch.no_grad():
+        out_ref = c2m.inference(ref_in["video"], ref_in["bg_mask"],
+                                ref_in["fg_mask"], ref_in["instance_mask"],
+                                ref_in["input_of"], ref_in["input_occ"],
+                                ref_in["tracking_gnn"], iug, z_m)
+    from tools.convert_c2m import convert_state_dict
+    cfg = _our_cfg()
+    cfg.model_params.generator.use_spade = True
+    sd = {k: v.numpy() for k, v in c2m.state_dict().items()}
+    tree = convert_state_dict(sd, cfg)
+    return cfg, tree, our_batch, z_m.numpy(), out_ref
+
+
+def test_spade_model_inference_parity(converted_spade):
+    from c2m_tpu.train.model import C2MTrainModel
+    cfg, tree, batch, z_m, out_ref = converted_spade
+    model = C2MTrainModel(cfg)
+    click = jax.nn.one_hot(jnp.zeros((B,), jnp.int32), N_OBJ)
+    out = model.apply(
+        {"params": tree["params"], "batch_stats": tree["batch_stats"],
+         "spectral": tree["spectral"]},
+        batch, jnp.asarray(z_m), click, True, method="inference",
+        rngs={"sample": jax.random.PRNGKey(0)})
+    ref_gen = out_ref["generated"].numpy().transpose(0, 2, 3, 4, 1)
+    got_gen = np.asarray(out["generated"])
+    assert got_gen.shape == ref_gen.shape
+    # SPADE warps the full-res image into the embedder and its InstanceNorms
+    # are global — allow the same boundary-flip structure as the kitti test
+    d = np.abs(got_gen - ref_gen)
+    assert d.max() < 1e-2 and (d > 1e-3).mean() < 0.05, (
+        d.max(), (d > 1e-3).mean())

@@ -341,8 +341,51 @@ def convert_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Dict]:
                 mb + ["BatchNorm_0", "BatchNorm_0"])
         _bn_fix(src, t, f"generator.middle.{i}.norm2",
                 mb + ["BatchNorm_1", "BatchNorm_0"])
+    use_spade = src.has("generator.up_blocks.0.conv1.weight")
     for i in range(mp.generator.num_down_blocks):
-        _up_block(src, t, f"generator.up_blocks.{i}", base + [f"up_{i}"])
+        if not use_spade:
+            _up_block(src, t, f"generator.up_blocks.{i}", base + [f"up_{i}"])
+            continue
+        # SPADE residual up block (residual_block.py:34-71 + spade_block.py)
+        ub = base + [f"up_{i}"]
+        ref = f"generator.up_blocks.{i}"
+        for cname in ("conv1", "conv2"):
+            t.p(ub + [cname, "Conv_0", "kernel"],
+                _conv2d(src.take(f"{ref}.{cname}.weight")))
+            t.p(ub + [cname, "Conv_0", "bias"],
+                src.take(f"{ref}.{cname}.bias"))
+        if src.has(f"{ref}.conv_s.weight"):
+            t.p(ub + ["conv_s", "Conv_0", "kernel"],
+                _conv2d(src.take(f"{ref}.conv_s.weight")))
+        for nname in ("norm1", "norm2", "norm_s"):
+            if not src.has(f"{ref}.{nname}.mlps.0.1.weight"):
+                continue
+            nb2 = ub + [nname]
+            t.p(nb2 + ["mlp", "Conv_0", "Conv_0", "kernel"],
+                _conv2d(src.take(f"{ref}.{nname}.mlps.0.0.conv.weight")))
+            t.p(nb2 + ["mlp", "Conv_0", "Conv_0", "bias"],
+                src.take(f"{ref}.{nname}.mlps.0.0.conv.bias"))
+            # SameBlock2d(use_norm=False): created-but-unapplied norm params
+            src.drop(f"{ref}.{nname}.mlps.0.0.norm.weight")
+            src.drop(f"{ref}.{nname}.mlps.0.0.norm.bias")
+            t.p(nb2 + ["gamma_beta", "Conv_0", "kernel"],
+                _conv2d(src.take(f"{ref}.{nname}.mlps.0.1.weight")))
+            t.p(nb2 + ["gamma_beta", "Conv_0", "bias"],
+                src.take(f"{ref}.{nname}.mlps.0.1.bias"))
+    if src.has("generator.flowembedder.conv_first.conv.weight"):
+        fb = base + ["flowembedder"]
+        t.p(fb + ["first", "Conv_0", "Conv_0", "kernel"],
+            _conv2d(src.take("generator.flowembedder.conv_first.conv.weight")))
+        t.p(fb + ["first", "Conv_0", "Conv_0", "bias"],
+            src.take("generator.flowembedder.conv_first.conv.bias"))
+        src.drop("generator.flowembedder.conv_first.norm.weight")  # use_norm=False
+        src.drop("generator.flowembedder.conv_first.norm.bias")
+        for i in range(mp.flow_embedder.num_down_blocks):
+            _conv_block2d(src, t, f"generator.flowembedder.down_blocks.{i}",
+                          fb + [f"down_{i}"])
+            if src.has(f"generator.flowembedder.up_blocks.{i}.main.1.weight"):
+                _up_block(src, t, f"generator.flowembedder.up_blocks.{i}",
+                          fb + [f"up_{i}"])
     t.p(base + ["final", "Conv_0", "kernel"],
         _conv2d(src.take("generator.final.0.weight")))
     t.p(base + ["final", "Conv_0", "bias"], src.take("generator.final.0.bias"))
