@@ -32,10 +32,11 @@ mean/std buffers, spectral weight_v (recomputed), num_batches_tracked.
 
 Usage:
   python tools/convert_c2m.py --checkpoint latest_c2m_model.pth.tar \
-      --config configs/c2m_journal_cityscapes.yaml --out <orbax dir>
+      --config configs/c2m_journal_cityscapes.yaml --out <job dir>
 
-Executed forward-parity test: tests/test_converters.py::test_c2m_full_model
-(random-init + adversarial BN stats, whole-model inference comparison).
+Executed forward-parity tests: tests/test_c2m_converter.py (whole-model
+inference comparison for the plain, KITTI and SPADE generator families;
+randomized BN running stats so stat mis-pairing can't hide).
 """
 
 from __future__ import annotations
@@ -458,7 +459,9 @@ def main():
     ap.add_argument("--checkpoint", required=True,
                     help="reference latest_c2m_model.pth.tar")
     ap.add_argument("--config", required=True, help="c2m_tpu yaml config")
-    ap.add_argument("--out", required=True, help="output orbax directory")
+    ap.add_argument("--out", required=True,
+                    help="output job dir (a framework checkpoint "
+                         "test.py/train.py can consume)")
     args = ap.parse_args()
 
     import torch
