@@ -3,11 +3,12 @@
 
 All functions are pure jnp on channels-last tensors; the perceptual loss takes
 the VGG feature dict producer as a callable so the module tree stays outside.
-Reference quirks reproduced: frames feed VGG in [0,1] *without* ImageNet
-normalization (losses.py's ``preprocess`` is dead code); the theta losses are
-the only gradient path into the GNN when ``use_gt_training`` (SURVEY.md §2.4);
-L1-masked means divide by the full element count (F.l1_loss of masked
-tensors), not the mask mass.
+Reference quirks reproduced: frames feed VGG in [0,1] and the Vgg19 wrapper
+ImageNet-normalizes them internally (vgg.py:93 — nn/vgg.py reproduces it;
+the standalone ``normalize``/``preprocess`` helpers in the reference
+losses.py are dead code); the theta losses are the only gradient path into
+the GNN when ``use_gt_training`` (SURVEY.md §2.4); L1-masked means divide by
+the full element count (F.l1_loss of masked tensors), not the mask mass.
 """
 
 from __future__ import annotations
@@ -156,9 +157,18 @@ def masked_theta_losses(thetas: jnp.ndarray, targets_theta: jnp.ndarray,
 
 
 def gan_mse_loss(pred: jnp.ndarray, target_is_real: bool) -> jnp.ndarray:
-    """LSGAN MSE vs a 0/1 label map (discriminator.py:96-135)."""
+    """LSGAN MSE vs a 0/1 label (discriminator.py:96-135).
+
+    Reference quirk, load-bearing for parity: ``GANLoss.__call__`` receives
+    the prediction-map TENSOR and indexes ``input_tensor[-1]``
+    (discriminator.py:133-134 — written for list inputs, but with a tensor
+    it slices the batch), so every GAN loss is the MSE over the LAST batch
+    element's patch map only (= the last frame of the last sample under
+    both the reference's t-major and our b-major time fold). Verified
+    against the reference's train-mode forward in
+    tests/test_train_objective_parity.py."""
     target = 1.0 if target_is_real else 0.0
-    return jnp.mean(jnp.square(pred - target))
+    return jnp.mean(jnp.square(pred[-1] - target))
 
 
 def feature_matching_loss(real_feats, fake_feats) -> jnp.ndarray:

@@ -3,9 +3,11 @@
 Reference: src/modules/layers/vgg.py — torchvision vgg19 ``features`` tapped
 after every ReLU; the perceptual loss uses relu{1..5}_1 and the (off by
 default) style loss uses relu2_2/relu3_4/relu4_4/relu5_2 (losses.py:40-69).
-Note the reference feeds frames in [0,1] *without* ImageNet normalization
-(the ``preprocess``/``normalize`` helpers in losses.py are dead code) — we
-reproduce that.
+The reference's ``normalize`` helper in losses.py is dead code, but the
+Vgg19 WRAPPER itself ImageNet-normalizes its input (vgg.py:85-93,
+``x = (x - mean) / std`` with non-grad buffers) — reproduced here via
+``normalize=True`` (the default; the weight-converter parity test compares
+the bare trunk with ``normalize=False``).
 
 Pretrained weights: zero-egress environment, so weights are loaded from a
 local npz (``VGG19_WEIGHTS`` env var or ``weights_path``) produced by
@@ -33,12 +35,24 @@ TAPS = tuple(f"relu{s}_{i}" for s, (_, n) in enumerate(_STAGES, 1)
              for i in range(1, n + 1))
 
 
+_IMAGENET_MEAN = (0.485, 0.456, 0.406)
+_IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
 class Vgg19Features(nn.Module):
-    """VGG19 conv trunk; returns {relu{s}_{i}: feature map} (NHWC)."""
+    """VGG19 conv trunk; returns {relu{s}_{i}: feature map} (NHWC).
+
+    normalize=True applies the reference Vgg19 wrapper's internal ImageNet
+    normalization (vgg.py:93) before the first conv."""
     dtype: Optional[jnp.dtype] = None
+    normalize: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        if self.normalize:
+            mean = jnp.asarray(_IMAGENET_MEAN, x.dtype)
+            std = jnp.asarray(_IMAGENET_STD, x.dtype)
+            x = (x - mean) / std
         taps = {}
         for stage, (ch, n_convs) in enumerate(_STAGES, start=1):
             for i in range(1, n_convs + 1):

@@ -104,7 +104,7 @@ class C2MTrainModel(nn.Module):
                         d_real=zero, d_fake=zero)
 
         def body(mdl, acc, xs):
-            tgt, gen = xs                               # [B*k, H, W, 3]
+            tgt, gen, is_last = xs                      # [B*k, H, W, 3], []
             acc = dict(acc)
             acc["reconstruction"] += l1_masked(gen, tgt)
             acc["ssim"] += ssim_loss_folded(gen, tgt)
@@ -117,10 +117,13 @@ class C2MTrainModel(nn.Module):
             if use_d:
                 d_real, d_fake, g_gan, fm = mdl._gan_losses(
                     mdl.netd_image, tgt, gen, train)
-                acc["g_gan_image"] += g_gan
+                # GAN losses use only the LAST batch element (the reference's
+                # GANLoss [-1] quirk, losses.gan_mse_loss) — the folded [-1]
+                # lives in the final chunk, so only that chunk contributes
+                acc["g_gan_image"] += jnp.where(is_last, g_gan, 0.0)
                 acc["feature_matching_image"] += fm
-                acc["d_real"] += d_real
-                acc["d_fake"] += d_fake
+                acc["d_real"] += jnp.where(is_last, d_real, 0.0)
+                acc["d_fake"] += jnp.where(is_last, d_fake, 0.0)
             return acc, None
 
         # remat the body so scan's backward recomputes each chunk instead of
@@ -135,10 +138,15 @@ class C2MTrainModel(nn.Module):
                        variable_carry=carry,
                        split_rngs={"params": False, "sample": False},
                        in_axes=0, out_axes=0)
-        acc, _ = scan(self, init, (tgt_chunks, gen_chunks))
-        losses = {key: val / nc for key, val in acc.items()
+        is_last = jnp.arange(nc) == nc - 1
+        acc, _ = scan(self, init, (tgt_chunks, gen_chunks, is_last))
+        # GAN terms come from the last chunk only (no /nc); everything else
+        # is a mean of equal-size chunk means == the folded mean
+        no_avg = ("d_real", "d_fake", "g_gan_image")
+        losses = {key: (val if key in no_avg else val / nc)
+                  for key, val in acc.items()
                   if key not in ("d_real", "d_fake")}
-        dis = ({"d_real": acc["d_real"] / nc, "d_fake": acc["d_fake"] / nc}
+        dis = ({"d_real": acc["d_real"], "d_fake": acc["d_fake"]}
                if use_d else {})
         return losses, dis
 

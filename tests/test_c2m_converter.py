@@ -60,10 +60,14 @@ def _build_inputs(integer_disp=False):
     + our channels-last batch), identical values; mirrors the reference test
     loader output (src/test.py:19-38, src/datasets/cityscapes.py:301-326).
 
-    integer_disp=True uses integer-pixel theta displacements so the affine
-    mask warp stays binary: no coverage-threshold ambiguity, hence STRICT
-    whole-model parity is expected (used by the KITTI test, whose warped-
-    image InstanceNorm spreads boundary winner-flips globally)."""
+    integer_disp=True uses HALF-integer pixel displacements: every warped
+    mask value is then exactly 1.0 (interior) or 0.5 (edge) on both sides,
+    so the coverage predicates (the reference's razor-edged ``warped == 1``,
+    dense_motion.py:137, vs our >= 1-eps) agree everywhere — no
+    winner-flip ambiguity, STRICT whole-model parity expected. (Exact
+    integer shifts are WORSE: torch's grid_sample hits fp-rounded 0.99999...
+    at some exactly-integer sample positions and the reference's ==1 drops
+    whole interior columns.)"""
     g = torch.Generator().manual_seed(0)
     t = T_IN + T_PRED
     video = torch.rand((B, 3, t, H, W), generator=g)
@@ -101,7 +105,7 @@ def _build_inputs(integer_disp=False):
     tt[:, :, 0] = 1.0
     tt[:, :, 4] = 1.0
     if integer_disp:
-        px = torch.arange(1, T_PRED + 1, dtype=torch.float)       # 1..5 px
+        px = torch.arange(1, T_PRED + 1, dtype=torch.float) + 0.5  # 1.5..5.5
         tt[:, :, 2] = (2.0 * px / W)[None].repeat(n_total, 1)
         tt[:, :, 5] = (2.0 * px / H)[None].repeat(n_total, 1)
     else:

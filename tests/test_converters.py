@@ -100,7 +100,7 @@ def test_vgg19_converter_parity(tmp_path, adversarial):
             if isinstance(m, tnn.ReLU):
                 taps_t.append(h.numpy())
 
-    model = Vgg19Features()
+    model = Vgg19Features(normalize=False)
     out = model.apply(variables, jnp.asarray(to_nhwc(x_t)))
     assert list(TAPS) == [f"relu{s}_{i}" for s, n in
                           zip(range(1, 6), (2, 2, 4, 4, 4))
