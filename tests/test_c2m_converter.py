@@ -149,12 +149,14 @@ def converted():
     # serve the exact architecture random-init through the shim
     import torchvision
     from tests.test_converters import _torch_vgg19_features
+    _orig_vgg19 = torchvision.models.vgg19
     torchvision.models.vgg19 = lambda *a, **k: types.SimpleNamespace(
         features=_torch_vgg19_features())
     from modules.model import GeneratorFullModel
     torch.manual_seed(0)
     c2m = GeneratorFullModel(train_params=tp, model_params=mp,
                              is_inference=False, dataset="cityscapes")
+    torchvision.models.vgg19 = _orig_vgg19   # un-leak the process-wide patch
     randomize_bn_stats(c2m, seed=7)
     c2m.eval()
 
@@ -260,12 +262,14 @@ def test_convert_cli_roundtrip(converted, tmp_path):
     tp, mp = _ref_cfg()
     import torchvision
     from tests.test_converters import _torch_vgg19_features
+    _orig_vgg19 = torchvision.models.vgg19
     torchvision.models.vgg19 = lambda *a, **k: types.SimpleNamespace(
         features=_torch_vgg19_features())
     from modules.model import GeneratorFullModel
     torch.manual_seed(0)
     c2m = GeneratorFullModel(train_params=tp, model_params=mp,
                              is_inference=False, dataset="cityscapes")
+    torchvision.models.vgg19 = _orig_vgg19   # un-leak the process-wide patch
     pth = tmp_path / "latest_c2m_model.pth.tar"
     torch.save({"c2m": c2m.state_dict()}, pth)
 
@@ -320,12 +324,14 @@ def converted_kitti():
     tp, mp = _ref_cfg()
     import torchvision
     from tests.test_converters import _torch_vgg19_features
+    _orig_vgg19 = torchvision.models.vgg19
     torchvision.models.vgg19 = lambda *a, **k: types.SimpleNamespace(
         features=_torch_vgg19_features())
     from modules.model import GeneratorFullModel
     torch.manual_seed(1)
     c2m = GeneratorFullModel(train_params=tp, model_params=mp,
                              is_inference=False, dataset="kitti")
+    torchvision.models.vgg19 = _orig_vgg19   # un-leak the process-wide patch
     randomize_bn_stats(c2m, seed=11)
     c2m.eval()
     ref_in, our_batch = _build_inputs(integer_disp=True)
@@ -373,12 +379,14 @@ def converted_spade():
     mp = {**mp, "generator": {**mp["generator"], "use_spade": True}}
     import torchvision
     from tests.test_converters import _torch_vgg19_features
+    _orig_vgg19 = torchvision.models.vgg19
     torchvision.models.vgg19 = lambda *a, **k: types.SimpleNamespace(
         features=_torch_vgg19_features())
     from modules.model import GeneratorFullModel
     torch.manual_seed(2)
     c2m = GeneratorFullModel(train_params=tp, model_params=mp,
                              is_inference=False, dataset="cityscapes")
+    torchvision.models.vgg19 = _orig_vgg19   # un-leak the process-wide patch
     randomize_bn_stats(c2m, seed=13)
     c2m.eval()
     ref_in, our_batch = _build_inputs(integer_disp=True)

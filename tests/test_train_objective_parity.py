@@ -36,6 +36,7 @@ def objective_pair():
     tp, mp = _ref_cfg()
     import torchvision
     from tests.test_converters import _torch_vgg19_features
+    _orig_vgg19 = torchvision.models.vgg19
     torchvision.models.vgg19 = lambda *a, **k: types.SimpleNamespace(
         features=_torch_vgg19_features())
     from modules.model import GeneratorFullModel
@@ -43,9 +44,12 @@ def objective_pair():
     torch.manual_seed(0)
     c2m = GeneratorFullModel(train_params=tp, model_params=mp,
                              is_inference=False, dataset="cityscapes")
+    torchvision.models.vgg19 = _orig_vgg19   # un-leak the process-wide patch
     randomize_bn_stats(c2m, seed=7)
     c2m.train()
-    # deterministic VAE sample: z = mu on both sides
+    # deterministic VAE sample: z = mu on both sides (restored at the end
+    # of the fixture body via _orig_rep_t)
+    _orig_rep_t = DenseMotionNetwork.reparameterize
     DenseMotionNetwork.reparameterize = staticmethod(lambda mu, logvar: mu)
 
     ref_in, our_batch = _build_inputs(integer_disp=True)
@@ -63,6 +67,7 @@ def objective_pair():
     np.random.seed(123)
     with torch.no_grad():
         _, loss_gen, loss_di, loss_dv = c2m(data)
+    DenseMotionNetwork.reparameterize = _orig_rep_t   # un-leak class patch
     ref_losses = {k: float(v) for k, v in loss_gen.items()}
     ref_di = {k: float(v) for k, v in loss_di.items()}
     ref_dv = {k: float(v) for k, v in loss_dv.items()}
