@@ -122,7 +122,9 @@ def perceptual_loss_folded(vgg_apply, gt_flat: jnp.ndarray,
     out: Dict[str, jnp.ndarray] = {}
     content = 0.0
     for tap in ("relu1_1", "relu2_1", "relu3_1", "relu4_1", "relu5_1"):
-        content += jnp.mean(jnp.abs(x_taps[tap] - y_taps[tap]))
+        # fp32 accumulation (see feature_matching_loss): taps may be bf16
+        content += jnp.mean(jnp.abs(x_taps[tap] - y_taps[tap]),
+                            dtype=jnp.float32)
     out["perceptual"] = content  # per-frame loop + /T == one folded pass
     if style_weight > 0:
         def gram(f):
@@ -131,7 +133,8 @@ def perceptual_loss_folded(vgg_apply, gt_flat: jnp.ndarray,
             return jnp.einsum("bnc,bnd->bcd", m, m) / (h * w * c)
         style = 0.0
         for tap in ("relu2_2", "relu3_4", "relu4_4", "relu5_2"):
-            style += jnp.mean(jnp.abs(gram(x_taps[tap]) - gram(y_taps[tap])))
+            style += jnp.mean(jnp.abs(gram(x_taps[tap]) - gram(y_taps[tap])),
+                              dtype=jnp.float32)
         out["style"] = style
     return out
 
@@ -175,7 +178,12 @@ def feature_matching_loss(real_feats, fake_feats) -> jnp.ndarray:
     """Sum of L1 over D feature maps, real side detached (model.py:111-122)."""
     total = 0.0
     for a, b in zip(real_feats, fake_feats):
-        total += jnp.mean(jnp.abs(jax.lax.stop_gradient(a) - b))
+        # fp32 accumulation: feature maps may be bf16 when the loss tail
+        # runs in the train dtype (train/model.py); a bf16 mean over ~1e5
+        # elements loses the loss VALUE's precision (gradients are exact
+        # either way — the grad of a mean is uniform)
+        total += jnp.mean(jnp.abs(jax.lax.stop_gradient(a) - b),
+                          dtype=jnp.float32)
     return total
 
 

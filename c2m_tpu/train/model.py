@@ -37,15 +37,23 @@ class C2MTrainModel(nn.Module):
         cfg = self.cfg
         self.c2m = C2MGenerator(cfg, dataset=self.dataset)
         tp = cfg.train_params
+        # the loss tail (discriminators + frozen VGG) follows the same
+        # computation dtype as the generator stack (train_params.dtype):
+        # params/BN stats/spectral-u stay fp32, only conv compute casts,
+        # and the loss reductions accumulate fp32 (losses.py)
+        from c2m_tpu.models.c2m import _dtype_of
+        dtype = _dtype_of(cfg)
         # discriminators share C2MGenerator's remat policy (models/c2m.py)
         disc_cls = (nn.remat(MultiScaleDiscriminator, static_argnums=(2,))
                     if tp.remat else MultiScaleDiscriminator)
         if tp.use_image_discriminator:
-            self.netd_image = disc_cls(cfg.model_params.discriminator)
+            self.netd_image = disc_cls(cfg.model_params.discriminator,
+                                       dtype=dtype)
         if tp.use_video_discriminator:
-            self.netd_video = disc_cls(cfg.model_params.discriminator)
+            self.netd_video = disc_cls(cfg.model_params.discriminator,
+                                       dtype=dtype)
         if tp.loss_weights.perceptual > 0:
-            self.vgg = Vgg19Features()
+            self.vgg = Vgg19Features(dtype=dtype)
 
     def _gan_losses(self, netd, real: jnp.ndarray, fake: jnp.ndarray,
                     train: bool):
