@@ -38,7 +38,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TR, TC = 8, 128     # output tile
-SY, SX = 32, 256    # source window block; fetched window is 2SY x 2SX
+
+
+def win_sizes(h: int, w: int) -> Tuple[int, int]:
+    """Source window block (SY, SX) for a map size; fetched window is
+    2SY x 2SX. Smaller windows mean less MXU work per output pixel
+    (the whole point of banding) but a tighter span bound in
+    ``plan_windows`` — these sizes keep the GNN's near-axis-aligned
+    thetas comfortably inside while giving 4x (y) work reduction at the
+    128x256 operating point, where round 2's fixed (32, 256) degenerated
+    to the full map and the quadratic kernel had to carry the path."""
+    sy = 32 if h >= 256 else (16 if h >= 64 else 8)
+    sx = 256 if w >= 512 else 128
+    return sy, sx
 
 
 def _sample_coords(thetas: jnp.ndarray, r: jnp.ndarray, c: jnp.ndarray,
@@ -55,7 +67,7 @@ def _sample_coords(thetas: jnp.ndarray, r: jnp.ndarray, c: jnp.ndarray,
 
 
 def _kernel(yb_ref, xb_ref, theta_ref, m00, m01, m10, m11, out_ref,
-            *, h: int, w: int):
+            *, h: int, w: int, SY: int, SX: int):
     t = pl.program_id(1)
     rb = pl.program_id(2)
     cb = pl.program_id(3)
@@ -98,9 +110,10 @@ def _kernel(yb_ref, xb_ref, theta_ref, m00, m01, m10, m11, out_ref,
 def _call(thetas: jnp.ndarray, masks: jnp.ndarray, yb: jnp.ndarray,
           xb: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     g, t = thetas.shape[:2]
+    SY, SX = win_sizes(h, w)
     nr, nc = h // TR, w // TC
     nyb, nxb = h // SY, w // SX
-    kernel = functools.partial(_kernel, h=h, w=w)
+    kernel = functools.partial(_kernel, h=h, w=w, SY=SY, SX=SX)
 
     def quad(dy, dx):
         def imap(i, j, k, l, yb_ref, xb_ref):
@@ -141,6 +154,7 @@ def plan_windows(thetas: jnp.ndarray, h: int, w: int
     at block corners; the hat adds +-1 support each side.
     """
     g, t = thetas.shape[:2]
+    SY, SX = win_sizes(h, w)
     nr, nc = h // TR, w // TC
     nyb, nxb = h // SY, w // SX
     r0 = jnp.arange(nr, dtype=jnp.float32) * TR
@@ -175,7 +189,9 @@ def plan_windows(thetas: jnp.ndarray, h: int, w: int
 
 
 def supported(h: int, w: int) -> bool:
-    return h % TR == 0 and w % TC == 0 and h >= 2 * SY and w >= 2 * SX
+    SY, SX = win_sizes(h, w)
+    return (h % TR == 0 and w % TC == 0 and h % SY == 0 and w % SX == 0
+            and h >= 2 * SY and w >= 2 * SX)
 
 
 def warp_masks(obj_f: jnp.ndarray, thetas: jnp.ndarray,

@@ -269,22 +269,6 @@ def generate_sparse_motion(instance: jnp.ndarray,
                                                interior_eps)
         else:
             warped = _warp_masks_separable(obj_f, thetas)
-    elif (use_pallas if use_pallas is not None
-          else (jax.default_backend() == "tpu" and w % 128 == 0
-                and h % 8 == 0
-                # the hat contraction is O((H*W)^2) per warp — a clear win at
-                # the 128x256 operating point (717 -> 38 ms measured) but
-                # quadratically worse at 512x1024, where the linear gather
-                # fallback stays the right call
-                and b * n * t * (h * w) ** 2 <= 2e12)):
-        # gather-free MXU hat-contraction kernel; identical math, but the
-        # interior test needs headroom for f32 matmul accumulation order,
-        # so the eps is PATH-DEPENDENT: boundary pixels with warped mass in
-        # (1-1e-4, 1-1e-5) may flip `covered` between this and the gather
-        # path (tests/test_raster.py's cross-path test bounds the effect)
-        from c2m_tpu.ops.pallas import maskwarp_kernel
-        warped = maskwarp_kernel.warp_masks(obj_f, thetas)
-        interior_eps = 1e-4
     else:
         def warp_gather(masks, th):
             def warp_one(mask_hw, theta6):
@@ -296,24 +280,48 @@ def generate_sparse_motion(instance: jnp.ndarray,
                                in_axes=(0, 0))
             return jax.vmap(warp_nt)(masks, th)            # [B, N, T, H, W]
 
-        from c2m_tpu.ops.pallas import maskwarp_banded
+        from c2m_tpu.ops.pallas import maskwarp_banded, maskwarp_kernel
+        tpu = jax.default_backend() == "tpu"
+        # the full hat contraction is O((H*W)^2) per warp — a clear win at
+        # the 128x256 operating point (717 -> 38 ms measured) but
+        # quadratically worse at 512x1024, where it is size-gated off
+        quad_ok = (w % 128 == 0 and h % 8 == 0
+                   and b * n * t * (h * w) ** 2 <= 2e12)
         # use_pallas=False must mean NO pallas (the golden gather path);
-        # the banded kernel engages only on auto (None)
-        if (use_pallas is None and jax.default_backend() == "tpu"
+        # auto (None) prefers the banded window kernel — O(H*W * window) —
+        # with the quadratic kernel (or the gather, at sizes where the
+        # quadratic is gated off) as the exactness fallback
+        if use_pallas is True:
+            # forced: the unconditional-exactness kernel (tests force this
+            # path — under an interpret-mode patch on CPU — to pin the
+            # quadratic kernel specifically)
+            warped = maskwarp_kernel.warp_masks(obj_f, thetas)
+            # gather-free MXU kernels share identical hat math, but the
+            # interior test needs headroom for f32 matmul accumulation
+            # order, so the eps is PATH-DEPENDENT: boundary pixels with
+            # warped mass in (1-1e-4, 1-1e-5) may flip `covered` between
+            # the pallas and gather paths (tests/test_raster.py's
+            # cross-path test bounds the effect)
+            interior_eps = 1e-4
+        elif (use_pallas is None and tpu
                 and maskwarp_banded.supported(h, w)):
-            # high-res general path: banded window kernel when every tile's
-            # source span fits its prefetched window (true for the GNN's
-            # near-axis-aligned thetas); runtime cond falls back to the
+            # banded window kernel when every tile's source span fits its
+            # prefetched window (true for the GNN's near-axis-aligned
+            # thetas); runtime cond falls back to the quadratic kernel /
             # gather for outlier thetas, so exactness is unconditional.
             # Hat-from-absolute-coords costs ~f32 eps at coord magnitude
-            # (~6e-5 at W=1024) -> same relaxed interior eps as the
-            # hat-contraction kernel above.
+            # (~6e-5 at W=1024) -> the relaxed interior eps.
             th2 = thetas.reshape(b * n, t, 6).astype(jnp.float32)
             yb, xb, ok = maskwarp_banded.plan_windows(th2, h, w)
+            fallback = ((lambda: maskwarp_kernel.warp_masks(obj_f, thetas))
+                        if quad_ok else (lambda: warp_gather(obj_f, thetas)))
             warped = jax.lax.cond(
                 ok,
                 lambda: maskwarp_banded.warp_masks(obj_f, thetas, yb, xb),
-                lambda: warp_gather(obj_f, thetas))
+                fallback)
+            interior_eps = 1e-4
+        elif use_pallas is None and tpu and quad_ok:
+            warped = maskwarp_kernel.warp_masks(obj_f, thetas)
             interior_eps = 1e-4
         else:
             warped = warp_gather(obj_f, thetas)

@@ -338,3 +338,58 @@ def test_maskwarp_banded_span_verdict():
     th[..., 3] = 2.0   # huge shear: sy spans far beyond one window
     _, _, ok = mb.plan_windows(jnp.asarray(th), h, w)
     assert not bool(ok)
+
+
+def test_maskwarp_banded_small_operating_point():
+    """Round 3: win_sizes shrinks the window to (16, 128) at the 128x256
+    operating point, so the banded kernel (4x less MXU work per pixel than
+    the quadratic hat contraction) now carries the interactive general
+    path there too. Parity vs the gather + plan fits for GNN-like thetas."""
+    from unittest import mock
+    from jax.experimental import pallas as pl
+    from c2m_tpu.ops.pallas import maskwarp_banded as mb
+    from c2m_tpu.ops.raster import _theta_rows
+    from c2m_tpu.ops.warp import affine_grid, grid_sample_normalized
+
+    h, w = 128, 256
+    assert mb.win_sizes(h, w) == (16, 128)
+    assert mb.supported(h, w)
+    # 512x1024 keeps round 3's measured configuration
+    assert mb.win_sizes(512, 1024) == (32, 256)
+
+    rng = np.random.RandomState(7)
+    b, n, t = 1, 3, 2
+    masks = np.zeros((b, n, h, w), np.float32)
+    masks[0, 0, 10:50, 20:90] = 1.0
+    masks[0, 1, 60:110, 100:220] = 1.0
+    masks[0, 2, 30:70, 150:250] = 1.0
+    th = np.zeros((b, n, t, 6), np.float32)
+    th[..., 0] = 1.0 + rng.randn(b, n, t) * 0.05   # GNN-like: near-identity
+    th[..., 4] = 1.0 + rng.randn(b, n, t) * 0.05
+    th[..., 1] = rng.randn(b, n, t) * 0.01
+    th[..., 3] = rng.randn(b, n, t) * 0.01
+    th[..., 2] = rng.randn(b, n, t) * 0.3
+    th[..., 5] = rng.randn(b, n, t) * 0.3
+    thj = jnp.asarray(th)
+    mj = jnp.asarray(masks)
+
+    yb, xb, ok = mb.plan_windows(thj.reshape(b * n, t, 6), h, w)
+    assert bool(ok), "GNN-like thetas must fit the (16, 128) windows"
+
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    with mock.patch.object(pl, "pallas_call", interp_call):
+        got = np.asarray(mb.warp_masks(mj, thj, yb, xb))
+
+    def warp_one(mask_hw, theta6):
+        grid = affine_grid(_theta_rows(theta6), h, w)
+        return grid_sample_normalized(mask_hw[..., None], grid,
+                                      padding="zeros")[..., 0]
+
+    want = np.asarray(jax.vmap(jax.vmap(
+        jax.vmap(warp_one, in_axes=(None, 0)), in_axes=(0, 0)))(mj, thj))
+    np.testing.assert_allclose(got, want, atol=1e-4)

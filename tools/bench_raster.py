@@ -88,9 +88,13 @@ def main():
                     ("general(banded)", False, None, shear),
                     ("general(gather)", False, False, shear)]
     else:
+        # auto (None) routes to the banded window kernel since round 3's
+        # win_sizes made it supported at 128x256; use_pallas=True pins the
+        # quadratic hat contraction for comparison
         variants = [("separable(MXU)", True, None, thetas),
-                    ("general(pallas)", False, True, thetas),
-                    ("general(gather)", False, False, thetas)]
+                    ("general(banded)", False, None, shear),
+                    ("general(quad)", False, True, shear),
+                    ("general(gather)", False, False, shear)]
     for name, aa, up, th in variants:
         t = slope(factory(aa, up), th)
         print(f"  {name:16s} {t:8.2f} ms", flush=True)
