@@ -288,40 +288,37 @@ def generate_sparse_motion(instance: jnp.ndarray,
         quad_ok = (w % 128 == 0 and h % 8 == 0
                    and b * n * t * (h * w) ** 2 <= 2e12)
         # use_pallas=False must mean NO pallas (the golden gather path);
-        # auto (None) prefers the banded window kernel — O(H*W * window) —
-        # with the quadratic kernel (or the gather, at sizes where the
-        # quadratic is gated off) as the exactness fallback
-        if use_pallas is True:
-            # forced: the unconditional-exactness kernel (tests force this
-            # path — under an interpret-mode patch on CPU — to pin the
-            # quadratic kernel specifically)
-            warped = maskwarp_kernel.warp_masks(obj_f, thetas)
+        # auto (None) prefers the QUADRATIC hat contraction where it is
+        # gated on — measured FASTER than the banded window kernel at the
+        # 128x256 operating point (38.2 vs 44.4 ms, tools/bench_raster.py:
+        # one big MXU contraction beats per-tile window DMAs at small
+        # maps) — and the banded kernel (O(H*W * window)) where the
+        # quadratic's O((H*W)^2) cost is size-gated off (512x1024: banded
+        # 745 ms vs gather 6151 ms)
+        if use_pallas is True or (use_pallas is None and tpu and quad_ok):
             # gather-free MXU kernels share identical hat math, but the
             # interior test needs headroom for f32 matmul accumulation
             # order, so the eps is PATH-DEPENDENT: boundary pixels with
             # warped mass in (1-1e-4, 1-1e-5) may flip `covered` between
             # the pallas and gather paths (tests/test_raster.py's
-            # cross-path test bounds the effect)
+            # cross-path test bounds the effect). use_pallas=True forces
+            # this kernel (tests pin it under an interpret-mode patch).
+            warped = maskwarp_kernel.warp_masks(obj_f, thetas)
             interior_eps = 1e-4
         elif (use_pallas is None and tpu
                 and maskwarp_banded.supported(h, w)):
             # banded window kernel when every tile's source span fits its
             # prefetched window (true for the GNN's near-axis-aligned
-            # thetas); runtime cond falls back to the quadratic kernel /
-            # gather for outlier thetas, so exactness is unconditional.
+            # thetas); runtime cond falls back to the gather for outlier
+            # thetas, so exactness is unconditional.
             # Hat-from-absolute-coords costs ~f32 eps at coord magnitude
             # (~6e-5 at W=1024) -> the relaxed interior eps.
             th2 = thetas.reshape(b * n, t, 6).astype(jnp.float32)
             yb, xb, ok = maskwarp_banded.plan_windows(th2, h, w)
-            fallback = ((lambda: maskwarp_kernel.warp_masks(obj_f, thetas))
-                        if quad_ok else (lambda: warp_gather(obj_f, thetas)))
             warped = jax.lax.cond(
                 ok,
                 lambda: maskwarp_banded.warp_masks(obj_f, thetas, yb, xb),
-                fallback)
-            interior_eps = 1e-4
-        elif use_pallas is None and tpu and quad_ok:
-            warped = maskwarp_kernel.warp_masks(obj_f, thetas)
+                lambda: warp_gather(obj_f, thetas))
             interior_eps = 1e-4
         else:
             warped = warp_gather(obj_f, thetas)

@@ -342,9 +342,12 @@ def test_maskwarp_banded_span_verdict():
 
 def test_maskwarp_banded_small_operating_point():
     """Round 3: win_sizes shrinks the window to (16, 128) at the 128x256
-    operating point, so the banded kernel (4x less MXU work per pixel than
-    the quadratic hat contraction) now carries the interactive general
-    path there too. Parity vs the gather + plan fits for GNN-like thetas."""
+    operating point so the banded kernel is SUPPORTED there — measured
+    SLOWER than the quadratic hat contraction (44.4 vs 38.2 ms,
+    tools/bench_raster.py: per-tile window DMAs dominate at small maps),
+    so the raster auto-route keeps the quadratic kernel at this size; the
+    banded kernel carries 512x1024 where the quadratic is gated off. This
+    test pins the small-size parity + plan fit for GNN-like thetas."""
     from unittest import mock
     from jax.experimental import pallas as pl
     from c2m_tpu.ops.pallas import maskwarp_banded as mb

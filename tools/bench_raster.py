@@ -88,16 +88,41 @@ def main():
                     ("general(banded)", False, None, shear),
                     ("general(gather)", False, False, shear)]
     else:
-        # auto (None) routes to the banded window kernel since round 3's
-        # win_sizes made it supported at 128x256; use_pallas=True pins the
-        # quadratic hat contraction for comparison
+        # auto (None) == the quadratic hat contraction at 128x256 (measured
+        # faster than banded here: 38.2 vs 44.4 ms — per-tile window DMAs
+        # dominate at small maps; use_pallas=True pins quad explicitly)
         variants = [("separable(MXU)", True, None, thetas),
-                    ("general(banded)", False, None, shear),
                     ("general(quad)", False, True, shear),
                     ("general(gather)", False, False, shear)]
     for name, aa, up, th in variants:
         t = slope(factory(aa, up), th)
         print(f"  {name:16s} {t:8.2f} ms", flush=True)
+
+    if not big:
+        # the banded window kernel, benched directly (not the default route
+        # at this size — kept measured so the negative stays honest)
+        from c2m_tpu.ops.pallas import maskwarp_banded as mb
+
+        def make_banded(k):
+            @jax.jit
+            def fused(seed, th):
+                acc = 0.0
+                for i in range(k):
+                    s = jax.random.fold_in(seed, i)
+                    ti = th.at[..., 2].add(
+                        jax.random.uniform(s, (), maxval=1e-3))
+                    obj = (inst[:, None, :, :, 0] ==
+                           inst_ids[:, :, None, None].astype(inst.dtype))
+                    yb, xb, _ = mb.plan_windows(
+                        ti.reshape(B * N, T, 6).astype(jnp.float32), H, W)
+                    acc = acc + mb.warp_masks(obj.astype(ti.dtype), ti,
+                                              yb, xb).mean()
+                return acc
+            return fused
+
+        t = slope(make_banded, shear)
+        print(f"  {'kernel(banded)':16s} {t:8.2f} ms   "
+              f"(direct; not the default route at this size)", flush=True)
 
 
 if __name__ == "__main__":
