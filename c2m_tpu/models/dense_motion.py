@@ -24,7 +24,7 @@ from c2m_tpu.config import (DenseMotionDecoderParams, DenseMotionEncoderParams,
                             SparseMotionEncoderParams)
 from c2m_tpu.nn.layers import (Dense, DownBlock3d, SameBlock2d, SameBlock3d,
                                UpBlock2d, fold_time, leaky, unfold_time)
-from c2m_tpu.nn.s2d_blocks import s2d_auto as _s2d_auto
+from c2m_tpu.nn.s2d_blocks import upfuse_auto as _upfuse_auto
 from c2m_tpu.ops.warp import resample, resize_bilinear, resize_flow
 
 
@@ -190,24 +190,25 @@ class DenseMotionDecoder(nn.Module):
                     # reference parity: up_input = out (the post-fuse tensor,
                     # motion_autoencoder.py:134-135), not the previous loop's x
                     x, _ = fold_time(out)
-            # s2d execution of a big up stage: when the next fuse resizes
+            # Fused execution of a big up stage: when the next fuse resizes
             # straight back to this scale (the reference's up-then-down dance,
             # motion_autoencoder.py:129-140), the UpBlock's 2x-upsampled
-            # full-res tensor never needs to exist in plain layout — the
-            # upsample goes straight to the s2d form, the conv+BN+leaky run
-            # lane-filled, and the fuse's bilinear half-resize is an exact
-            # combination of the four phases (nn/s2d.mean_pool_s2d). Bitwise
-            # path equality is pinned by tests/test_s2d.py; the gate mirrors
-            # the tail's measured crossover (s2d only pays at big grids).
+            # full-res tensor never needs to exist — the upsample FOLDS INTO
+            # the conv kernel (nn/s2d.fused_up_conv: original FLOP count,
+            # lane-filled s2d output), BN+leaky run in s2d, and the fuse's
+            # bilinear half-resize is an exact combination of the four phases
+            # (nn/s2d.mean_pool_s2d). Path equality is pinned by
+            # tests/test_s2d.py; the gate is the measured fused-up crossover
+            # (tools/bench_upfuse.py: 3.3x at 512x1024 outputs, 1.56x at
+            # 256x512, neutral below).
             h_up, w_up = 2 * x.shape[1], 2 * x.shape[2]
             has_fuse = i >= nb - self.sparse_down
             fuse_hw = None
             if has_fuse:
                 sp = sparse_features[f"enco_sparse_{nb - i - 1}"]  # [B,T,h,w,C]
                 fuse_hw = (sp.shape[2], sp.shape[3])
-            use_s2d_stage = (self.s2d_tail and has_fuse
-                             and fuse_hw == x.shape[1:3]
-                             and _s2d_auto(h_up, w_up))
+            use_s2d_stage = (has_fuse and fuse_hw == x.shape[1:3]
+                             and _upfuse_auto(h_up, w_up))
             if use_s2d_stage:
                 from c2m_tpu.nn import s2d as _s2d_mod
                 from c2m_tpu.nn import s2d_blocks as _sb

@@ -252,6 +252,12 @@ class DownBlock3d(nn.Module):
         return leaky(x)
 
 
+def _upfuse_gate(h_up: int, w_up: int) -> bool:
+    # late import: s2d_blocks imports this module
+    from c2m_tpu.nn.s2d_blocks import upfuse_auto
+    return upfuse_auto(h_up, w_up)
+
+
 class UpBlock2d(nn.Module):
     """2x bilinear upsample + conv + BN + leaky (up_block.py:5-27), pure 2D —
     time folding is the caller's job (``fold_time``/``unfold_time``)."""
@@ -265,6 +271,22 @@ class UpBlock2d(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         b, h, w, c = x.shape
+        # At big output sizes the upsample folds into the conv kernel
+        # (nn/s2d.fused_up_conv: the [2h, 2w, C] upsampled tensor never
+        # exists, conv emits lane-filled s2d, BN stats over the phase view
+        # are exact) — measured 1.3-2.6x at >=256x512 outputs, neutral
+        # below (tools/bench_upfuse.py). Param tree identical to the plain
+        # path; exactness pinned in tests/test_s2d_blocks.py.
+        if (self.kernel_size == 3 and self.strides == 1 and self.padding == 1
+                and _upfuse_gate(h * 2, w * 2)):
+            from c2m_tpu.nn import s2d as _s2d
+            from c2m_tpu.nn.s2d_blocks import UpConvS2d
+            xs = UpConvS2d(self.features, 3, self.padding_mode,
+                           dtype=self.dtype, name="Conv_0")(x)
+            xs5 = xs.reshape(*xs.shape[:-1], 4, xs.shape[-1] // 4)
+            xs5 = BatchNorm(dtype=self.dtype)(xs5, train=train)
+            return _s2d.from_s2d(leaky(
+                xs5.reshape(*xs.shape[:-1], xs.shape[-1])))
         x = resize_bilinear(x, (h * 2, w * 2), align_corners=False)
         x = Conv(self.features, self.kernel_size, self.strides, self.padding,
                  self.padding_mode, dtype=self.dtype)(x)

@@ -267,6 +267,94 @@ def upsample2x_to_s2d(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(phases, axis=-1).astype(x.dtype)
 
 
+def _upconv_tap_weights(k: int) -> np.ndarray:
+    """R[q, ky, t]: weight with which original conv tap ``ky`` (of a k-tap,
+    pad k//2 conv applied to the 2x bilinear upsample) lands on input offset
+    ``t - 1`` of the HALF-res tensor, for output phase ``q``.
+
+    Derivation: output full-res row r = 2I + q + ky - p reads upsampled row
+    up[r] = a*x[(r>>1)] + b*x[(r>>1) +/- 1] with (a, b) = (0.75, 0.25)
+    split by r's parity (torch align_corners=False, scale 2: src = r/2 -
+    0.25). For k = 3 every phase's support is exactly x[I-1 .. I+1]."""
+    p = k // 2
+    assert k == 3, "fused up-conv derived for the 3x3 UpBlock kernel"
+    R = np.zeros((2, k, 3), np.float64)
+    for q in range(2):
+        for ky in range(k):
+            delta = q + ky - p
+            i_off = delta >> 1          # floor division
+            if delta & 1:
+                taps = ((i_off, 0.75), (i_off + 1, 0.25))
+            else:
+                taps = ((i_off - 1, 0.25), (i_off, 0.75))
+            for off, wt in taps:
+                assert -1 <= off <= 1, (q, ky, off)
+                R[q, ky, off + 1] += wt
+    return R
+
+
+def upconv_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """Composite kernel of (3x3 conv) o (2x bilinear upsample).
+
+    w: [3, 3, C, Co] (the ORIGINAL UpBlock conv kernel). Returns
+    W4 [3, 3, C, 4Co] (phase-major output channels) such that a VALID conv
+    of the plain HALF-res tensor with W4 equals the interior of
+    ``conv_s2d_single(upsample2x_to_s2d(x), w, ...)`` — same FLOP count as
+    the plain full-res conv, no upsampled tensor, lane-filled output."""
+    R = jnp.asarray(_upconv_tap_weights(w.shape[0]), w.dtype)
+    # W4[ty, tx, c, (qy*2+qx)*Co + co] = sum_{ky,kx} R[qy,ky,ty] R[qx,kx,tx]
+    #                                     * w[ky,kx,c,co]
+    W4 = jnp.einsum("yat,xbu,abco->tucyxo", R, R, w)
+    t, u, c = W4.shape[0], W4.shape[1], W4.shape[2]
+    return W4.reshape(t, u, c, 4 * w.shape[3])
+
+
+def fused_up_conv(x: jnp.ndarray, w: jnp.ndarray,
+                  bias: Optional[jnp.ndarray], padding_mode: str = "reflect",
+                  dtype=None) -> jnp.ndarray:
+    """Exact ``conv3x3(pad(upsample2x_bilinear(x)))`` emitting the s2d form.
+
+    Equals ``conv_s2d_single(upsample2x_to_s2d(x), w, bias, 1, mode)`` but
+    4x cheaper: the upsample folds into the conv kernel (``upconv_kernel``),
+    so the interior is ONE plain conv of the half-res input — original FLOP
+    count (the s2d kernel scatter pays 4x), input read at 1/4 the bytes, and
+    the [B, 2h, 2w, C] upsampled tensor never exists. Border rows/cols
+    (where torch's edge clamp + the conv's reflect/zero pad break the
+    uniform stencil) are computed exactly by the reference s2d path on thin
+    slices and concatenated back.
+
+    x: [B, h, w, C]; w: [3, 3, C, Co] -> [B, h, w, 4Co] (s2d of [2h, 2w, Co]).
+    """
+    import jax
+    k = w.shape[0]
+    p = k // 2
+    m = 4  # slice margin: covers row 0 / row -1's receptive field for k=3
+    b, h, wd, c = x.shape
+    if k != 3 or h < m + 1 or wd < m + 1:
+        return conv_s2d_single(upsample2x_to_s2d(x), w, bias, p,
+                               padding_mode, dtype=dtype)
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
+    W4 = upconv_kernel(w)
+    interior = jax.lax.conv_general_dilated(
+        x, W4, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        interior = interior + jnp.tile(bias.astype(interior.dtype), 4)
+
+    def strip(xs):
+        return conv_s2d_single(upsample2x_to_s2d(xs), w, bias, p,
+                               padding_mode, dtype=dtype)
+
+    top = strip(x[:, :m])[:, 0:1]
+    bottom = strip(x[:, -m:])[:, -1:]
+    left = strip(x[:, :, :m])[:, 1:-1, 0:1]
+    right = strip(x[:, :, -m:])[:, 1:-1, -1:]
+    mid = jnp.concatenate([left, interior, right], axis=2)
+    return jnp.concatenate([top, mid, bottom], axis=1)
+
+
 def mean_pool_s2d(s: jnp.ndarray) -> jnp.ndarray:
     """Exact bilinear 2x DOWNsample (align_corners=False, torch semantics)
     consuming the s2d form and emitting the PLAIN half-res tensor:

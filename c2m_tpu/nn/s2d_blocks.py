@@ -47,6 +47,18 @@ def s2d_auto(h: int, w: int) -> bool:
     return h % 2 == 0 and w % 2 == 0 and h * w >= S2D_MIN_PIXELS
 
 
+# fused upsample+conv (nn/s2d.fused_up_conv) crossover, measured in
+# tools/bench_upfuse.py: 3.3x at 512x1024 outputs, 1.56x at 256x512,
+# ~0.95x at 128x256 and below
+UPFUSE_MIN_PIXELS = 256 * 512
+
+
+def upfuse_auto(h_up: int, w_up: int) -> bool:
+    """Should an UpBlock whose fuse resizes straight back run the fused
+    upsample+conv s2d stage at this (2x-upsampled) output size?"""
+    return h_up % 2 == 0 and w_up % 2 == 0 and h_up * w_up >= UPFUSE_MIN_PIXELS
+
+
 def concat_s2d(streams: Sequence[jnp.ndarray]) -> jnp.ndarray:
     """Channel-concat s2d tensors so the result is phase-major over the
     COMBINED channels: layout [phase, C0+C1+...] — what a plain-form
@@ -161,6 +173,28 @@ class ConvS2d(nn.Module):
                                    self.padding_mode, dtype=self.dtype)
 
 
+class UpConvS2d(nn.Module):
+    """Fused 2x-bilinear-upsample + 3x3 conv: consumes the PLAIN half-res
+    tensor, emits the s2d form of the conv'd full-res tensor
+    (nn/s2d.fused_up_conv — the upsample folds into a composite kernel, so
+    the upsampled tensor never exists and the conv keeps the original FLOP
+    count). Param tree identical to ConvS2d / the plain layers.Conv."""
+    features: int
+    kernel_size: Union[int, Sequence[int]] = 3
+    padding_mode: str = "zeros"
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size if isinstance(self.kernel_size, int) \
+            else self.kernel_size[0]
+        kernel, bias = _ConvParams(self.features, (k, k), x.shape[-1],
+                                   self.use_bias, name="Conv_0")()
+        return s2d.fused_up_conv(x, kernel, bias, self.padding_mode,
+                                 dtype=self.dtype)
+
+
 class Conv3dS2d(nn.Module):
     """layers.Conv3d on the s2d video form (stride 1, spatial pad k//2).
 
@@ -193,9 +227,10 @@ def _denorm5(x5):
 
 
 class UpBlock2dS2d(nn.Module):
-    """layers.UpBlock2d emitting the s2d form: the 2x bilinear upsample goes
-    STRAIGHT to s2d (nn/s2d.upsample2x_to_s2d — the padded full-res tensor
-    is never materialized), then conv + BN + leaky in s2d."""
+    """layers.UpBlock2d emitting the s2d form: the 2x bilinear upsample is
+    FUSED into the conv kernel (nn/s2d.fused_up_conv — neither the upsampled
+    nor the padded full-res tensor is ever materialized, and the conv keeps
+    the plain path's FLOP count), then BN + leaky in s2d."""
     features: int
     kernel_size: int = 3
     padding_mode: str = "zeros"
@@ -203,10 +238,10 @@ class UpBlock2dS2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        # x: plain [B*, h, w, C] -> s2d of the 2x-upsampled tensor
-        xs = s2d.upsample2x_to_s2d(x)
-        xs = ConvS2d(self.features, self.kernel_size, self.padding_mode,
-                     dtype=self.dtype, name="Conv_0")(xs)
+        # x: plain [B*, h, w, C] -> s2d of the conv'd 2x-upsampled tensor;
+        # the upsample folds into the conv kernel (s2d.fused_up_conv)
+        xs = UpConvS2d(self.features, self.kernel_size, self.padding_mode,
+                       dtype=self.dtype, name="Conv_0")(x)
         xs = _denorm5(BatchNorm(dtype=self.dtype)(_norm5(xs), train=train))
         return leaky(xs)
 

@@ -143,3 +143,27 @@ def test_norm_reshape_exact_stats():
     got = s2d.from_s2d(s2d.denorm_nd_s2d(got5))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["reflect", "zeros"])
+@pytest.mark.parametrize("shape", [(2, 6, 9, 5), (1, 5, 5, 3), (2, 12, 7, 4)])
+def test_fused_up_conv_matches_s2d_reference(mode, shape):
+    """fused_up_conv (composite upsample-folded kernel + exact border
+    strips) == the reference s2d path conv_s2d_single(upsample2x_to_s2d)
+    — which tests already pin to the plain UpBlock conv."""
+    x = _rand(shape, seed=3)
+    w = _rand((3, 3, shape[-1], 7), seed=4) * 0.3
+    bias = _rand((7,), seed=5)
+    want = s2d.conv_s2d_single(s2d.upsample2x_to_s2d(x), w, bias, 1, mode)
+    got = s2d.fused_up_conv(x, w, bias, mode)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_up_conv_small_fallback():
+    x = _rand((1, 3, 4, 2), seed=9)
+    w = _rand((3, 3, 2, 4), seed=10)
+    want = s2d.conv_s2d_single(s2d.upsample2x_to_s2d(x), w, None, 1, "reflect")
+    got = s2d.fused_up_conv(x, w, None, "reflect")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=1e-6)

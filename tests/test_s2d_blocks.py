@@ -143,3 +143,30 @@ def test_sameblock3d_s2d_matches_plain():
                        ).reshape(b, t, h, w_, -1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_upblock2d_auto_fused_path_matches_plain(monkeypatch):
+    """UpBlock2d auto-routes through the fused upsample+conv at big output
+    sizes (layers.py _upfuse_gate). Patch the gate open and check the fused
+    route equals the plain route on the SAME variables — eval output, train
+    output, and the BatchNorm batch stats."""
+    x = _rand((3, 6, 10, 5), 17)
+    blk = UpBlock2d(7, 3, 1, 1, "reflect")
+    v = blk.init(jax.random.PRNGKey(2), x, train=False)  # gate off: plain
+    want_e = blk.apply(v, x, train=False)
+    want_t, wstats = blk.apply(v, x, train=True, mutable=["batch_stats"])
+
+    monkeypatch.setattr(sb, "UPFUSE_MIN_PIXELS", 1)
+    v2 = blk.init(jax.random.PRNGKey(2), x, train=False)  # fused route
+    assert _tree_paths(v) == _tree_paths(v2)
+    got_e = blk.apply(v, x, train=False)
+    got_t, gstats = blk.apply(v, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               atol=1e-5, rtol=1e-5)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(wstats)[0],
+            jax.tree_util.tree_flatten_with_path(gstats)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)

@@ -79,12 +79,15 @@ def test_eval_losses_and_frames_match_plain(states):
     for k in ld0:
         np.testing.assert_allclose(float(ld1[k]), float(ld0[k]),
                                    rtol=1e-4, atol=1e-5, err_msg=k)
+    # 2e-5: the fused up-conv (nn/s2d.fused_up_conv) folds the bilinear
+    # upsample into the conv kernel — mathematically exact, but the fp32
+    # summation order differs from the sequential upsample+conv
     np.testing.assert_allclose(np.asarray(out1["generated"]),
-                               np.asarray(out0["generated"]), atol=1e-5)
+                               np.asarray(out0["generated"]), atol=2e-5)
     np.testing.assert_allclose(np.asarray(out1["dense_motion_bw"]),
                                np.asarray(out0["dense_motion_bw"]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(out1["occlusion_bw"]),
-                               np.asarray(out0["occlusion_bw"]), atol=1e-5)
+                               np.asarray(out0["occlusion_bw"]), atol=2e-5)
 
 
 def test_s2d_composes_with_scan_frames(states):
@@ -107,19 +110,21 @@ def test_s2d_composes_with_scan_frames(states):
 
 
 def test_s2d_pyramid_stages_match_plain(states, monkeypatch):
-    """The decoder's s2d UP-STAGE path (UpBlock2dS2d + exact phase-mean
-    half-resize, gated by s2d_auto at the 2x-upsampled size) equals the
-    plain path. At 64x128 the gate is normally off — patch it open so every
-    fuse stage takes the s2d path."""
+    """The decoder's fused UP-STAGE path (UpBlock2dS2d with the
+    upsample-folded conv kernel + exact phase-mean half-resize, gated by
+    upfuse_auto at the 2x-upsampled size) equals the plain path. At 64x128
+    the gate is normally off — compute the plain baseline first, then patch
+    the gate open so every fuse stage takes the fused path (the gate is
+    size-automatic since round 3, no longer keyed on s2d_tail)."""
     from c2m_tpu.nn import s2d_blocks
-    monkeypatch.setattr(s2d_blocks, "S2D_MIN_PIXELS", 1)
     cfg0, cfg1, batch, s0, _ = states
     key = jax.random.PRNGKey(0)
     s1 = create_train_state(cfg1, C2MTrainModel(cfg1), key, batch)
     s1v = s1.replace(params=s0.params, batch_stats=s0.batch_stats,
                      spectral=s0.spectral)
     rng = jax.random.PRNGKey(7)
-    out0, ld0 = make_eval_step(cfg0)(s0, batch, rng)
+    out0, ld0 = make_eval_step(cfg0)(s0, batch, rng)  # gate off: plain path
+    monkeypatch.setattr(s2d_blocks, "UPFUSE_MIN_PIXELS", 1)
     out1, ld1 = make_eval_step(cfg1)(s1v, batch, rng)
     for k in ld0:
         np.testing.assert_allclose(float(ld1[k]), float(ld0[k]),

@@ -4,7 +4,10 @@ train step (G + GNN + D_image + D_video updates, all losses incl. VGG
 perceptual when weights exist) at the reference's train operating point
 (128x256, batch 3/GPU — c2m_journal_cityscapes.yaml:49) and at batch 12.
 
-  python tools/bench_train.py [--batch 3]
+Also measures the driver's config-4 point (256x512 training) via --size:
+
+  python tools/bench_train.py [--batches 3] [--size 128 256] [--remat]
+                              [--scan-frames N] [--s2d]
 """
 
 import argparse
@@ -20,6 +23,11 @@ K_SMALL, K_BIG, REPEATS = 1, 3, 3
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, nargs="+", default=[3])
+    ap.add_argument("--size", type=int, nargs=2, default=[128, 256],
+                    metavar=("H", "W"))
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--scan-frames", type=int, default=0)
+    ap.add_argument("--s2d", action="store_true")
     args = ap.parse_args()
 
     from c2m_tpu.utils.jax_setup import setup_jax
@@ -34,8 +42,11 @@ def main():
 
     print(f"device: {jax.devices()[0]}", flush=True)
     for bsz in args.batches:
-        cfg = _flagship_cfg(h=128, w=256, batch=bsz, max_objects=8,
-                            dtype="bfloat16")
+        cfg = _flagship_cfg(h=args.size[0], w=args.size[1], batch=bsz,
+                            max_objects=8, dtype="bfloat16")
+        cfg.train_params.remat = args.remat
+        cfg.train_params.scan_frames = args.scan_frames
+        cfg.train_params.s2d_tail = args.s2d
         model = C2MTrainModel(cfg)
         batch = {k: jnp.asarray(v) for k, v in make_batch(cfg, seed=0).items()}
         state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
