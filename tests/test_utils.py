@@ -78,3 +78,85 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored.step) == 5
     np.testing.assert_array_equal(np.asarray(restored.params["c2m"]["w"]),
                                   np.ones((3,)))
+
+
+def test_multihost_bootstrap(monkeypatch):
+    """setup_jax forms the global mesh from env (the torch.distributed.run
+    analogue, reference src/train.py:141-159): explicit coordinator triple,
+    guarded repeat calls, and a hard failure when triggered but broken."""
+    import jax
+    import c2m_tpu.utils.jax_setup as js
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+    monkeypatch.setattr(js, "_DISTRIBUTED_DONE", False)
+
+    # not triggered: no env -> no-op
+    monkeypatch.delenv("C2M_MULTIHOST", raising=False)
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert js.maybe_init_distributed() is False and calls == []
+
+    # explicit coordinator triple (generic cluster)
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    monkeypatch.setenv("JAX_PROCESS_ID", "1")
+    assert js.maybe_init_distributed() is True
+    assert calls == [{"coordinator_address": "10.0.0.1:1234",
+                      "num_processes": 2, "process_id": 1}]
+    # repeat call: guarded no-op
+    assert js.maybe_init_distributed() is True and len(calls) == 1
+
+    # TPU-pod autodetect mode: C2M_MULTIHOST=1 alone
+    monkeypatch.setattr(js, "_DISTRIBUTED_DONE", False)
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
+    monkeypatch.setenv("C2M_MULTIHOST", "1")
+    assert js.maybe_init_distributed() is True
+    assert calls[-1] == {"coordinator_address": None,
+                         "num_processes": None, "process_id": None}
+
+    # triggered but failing (not already-initialized) must raise
+    monkeypatch.setattr(js, "_DISTRIBUTED_DONE", False)
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: (_ for _ in ()).throw(
+                            RuntimeError("coordinator unreachable")))
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        js.maybe_init_distributed()
+
+    # already-initialized by the host app: treated as success
+    monkeypatch.setattr(js, "_DISTRIBUTED_DONE", False)
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: (_ for _ in ()).throw(
+                            RuntimeError("already initialized")))
+    assert js.maybe_init_distributed() is True
+
+
+def test_loader_shards_follow_process_env(monkeypatch):
+    """Two faked processes select disjoint, complete host shards — the exact
+    indices the Trainer wires from jax.process_index()/process_count()
+    (train/trainer.py:52-55)."""
+    import jax
+    from c2m_tpu.data.loader import DataLoader
+
+    class _DS:
+        def __len__(self):
+            return 7
+
+        def __getitem__(self, i):
+            return {"x": np.full((2,), i, np.float32)}
+
+    seen = {}
+    for pid in (0, 1):
+        monkeypatch.setattr(jax, "process_index", lambda p=pid: p)
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        dl = DataLoader(_DS(), batch_size=1, shuffle=False, drop_last=False,
+                        host_id=jax.process_index(),
+                        num_hosts=jax.process_count())
+        seen[pid] = [int(b["x"][0, 0]) for b in dl]
+    assert set(seen[0]).isdisjoint(set(seen[1]) - {0})  # only the wrap pad repeats
+    # union covers the dataset; pad wraps index 0 onto the short host
+    assert set(seen[0]) | set(seen[1]) == set(range(7))
+    assert len(seen[0]) == len(seen[1]) == 4
