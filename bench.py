@@ -38,10 +38,18 @@ a real measurement exists; the JSON carries that caveat explicitly.
 """
 
 import json
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+
+def _phase(name, t0):
+    print(f"[bench] {name}: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
+    return time.perf_counter()
 
 BASELINE_FRAMES_PER_SEC = 150.0  # estimated PyTorch reference on A100
 V5E_BF16_PEAK_FLOPS = 394e12
@@ -61,11 +69,32 @@ def main():
     from c2m_tpu.data.synthetic import make_batch
     from c2m_tpu.models.c2m import C2MGenerator
 
+    t0 = time.perf_counter()
     cfg = _flagship_cfg(h=H, w=W, batch=BATCH, max_objects=8, dtype="bfloat16")
     model = C2MGenerator(cfg)
     batch = {k: jnp.asarray(v) for k, v in make_batch(cfg, seed=0).items()}
     key = jax.random.PRNGKey(0)
-    variables = model.init({"params": key, "sample": key}, batch, train=False)
+
+    # Compile-effort: measured on the v5e (STATUS.md round-4),
+    # exec_time_optimization_effort=-0.2 produces the IDENTICAL optimized
+    # program (same XLA cost-model flops AND bytes, 857.7 vs 856.5 f/s —
+    # within noise) while cutting the cold remote compile ~20x (34 s vs
+    # ~13 min) — the round-3 driver-timeout fix. -0.5 and below change
+    # codegen (590/488 f/s) and are NOT acceptable. Overridable for
+    # experiments via C2M_BENCH_EFFORT ("" = backend default).
+    effort = os.environ.get("C2M_BENCH_EFFORT", "-0.2")
+    copts = ({"exec_time_optimization_effort": float(effort)}
+             if effort else None)
+
+    # init under jit: eager init dispatches thousands of primitives op-by-op
+    # over the tunnel (~0.5 s each); one jitted program is minutes faster and
+    # its compile persists in the cache like everything else.
+    init_fn = lambda k: model.init({"params": k, "sample": k}, batch,
+                                   train=False)  # noqa: E731
+    variables = jax.jit(init_fn).lower(key).compile(
+        compiler_options=copts)(key)
+    jax.block_until_ready(variables)
+    t0 = _phase("init", t0)
     click = jax.nn.one_hot(jnp.zeros((BATCH,), jnp.int32),
                            cfg.dataset_params.max_objects)
 
@@ -95,7 +124,9 @@ def main():
     # serves both the short and the long timing call.
     lowered = jax.jit(fused).lower(variables, batch, click, key,
                                    jnp.int32(N_BIG))
-    compiled = lowered.compile()
+    t0 = _phase("lower", t0)
+    compiled = lowered.compile(compiler_options=copts)
+    t0 = _phase("compile", t0)
     cost = compiled.cost_analysis()
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
     # while-loop body is counted once -> these are per-inference already
@@ -108,8 +139,10 @@ def main():
                        jnp.int32(n)))
         return time.perf_counter() - t0
 
+    t0 = _phase("cost_analysis", t0)
     timed(N_SMALL, 0)  # warm the execution path
     timed(N_BIG, 0)
+    t0 = _phase("warm_exec", t0)
     t_small = min(timed(N_SMALL, 1 + r) for r in range(REPEATS))
     t_big = min(timed(N_BIG, 100 + r) for r in range(REPEATS))
     per_call = (t_big - t_small) / (N_BIG - N_SMALL)

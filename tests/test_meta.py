@@ -1,0 +1,92 @@
+"""Meta-test: the heavy-gate inventory stays valid (VERDICT r3 weak #6).
+
+The default suite intentionally skips the heavy tests (big-model compiles on
+the 1-core CI runner) behind ``C2M_HEAVY_TESTS``. Nothing else asserted that
+those gates stay *live* — a typo'd env check (``C2M_HEAVYTESTS``) would skip
+forever and look identical in CI output. This scans the test tree's AST and
+pins (a) every gate string to the exact spelling, (b) every module-level
+``HEAVY`` flag to reading that env var, and (c) the gated-test count, so a
+silently appearing or disappearing skip fails loudly here.
+"""
+
+import ast
+import glob
+import os
+
+EXPECTED_GATED = 14  # update when adding/removing a heavy-gated test
+
+
+def _iter_test_sources():
+    tests_dir = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(tests_dir, "test_*.py"))):
+        with open(path) as f:
+            src = f.read()
+        yield os.path.basename(path), src, ast.parse(src)
+
+
+def _gate_strings(node):
+    """All C2M_-prefixed string literals inside a decorator/assign node."""
+    return [n.value for n in ast.walk(node)
+            if isinstance(n, ast.Constant) and isinstance(n.value, str)
+            and n.value.startswith("C2M_") and "=" not in n.value]
+
+
+def test_heavy_gate_inventory():
+    gated = 0
+    for fname, src, tree in _iter_test_sources():
+        module_gated = False
+        for node in tree.body:
+            if not isinstance(node, ast.Assign):
+                continue
+            names = [t.id for t in node.targets if isinstance(t, ast.Name)]
+            seg = ast.get_source_segment(src, node) or ""
+            if "HEAVY" in names:
+                # the module flag must read the exact env var
+                assert "C2M_HEAVY_TESTS" in _gate_strings(node), (fname, seg)
+            if "pytestmark" in names and "skipif" in seg:
+                module_gated = True
+                for s in _gate_strings(node):
+                    assert s == "C2M_HEAVY_TESTS", (fname, s)
+        n_tests = sum(1 for node in ast.walk(tree)
+                      if isinstance(node, ast.FunctionDef)
+                      and node.name.startswith("test_"))
+        if module_gated:
+            gated += n_tests
+            continue
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.FunctionDef):
+                continue
+            for dec in node.decorator_list:
+                seg = ast.get_source_segment(src, dec) or ""
+                if "skipif" not in seg or "HEAVY" not in seg:
+                    continue
+                gated += 1
+                for s in _gate_strings(dec):
+                    assert s == "C2M_HEAVY_TESTS", (fname, node.name, s)
+    assert gated == EXPECTED_GATED, (
+        f"heavy-gated test count changed: {gated} != {EXPECTED_GATED} — "
+        "update EXPECTED_GATED if intentional")
+
+
+def test_heavy_gate_env_actually_enables():
+    """The env var the gates read is the one the docs tell users to set:
+    evaluating a representative gate expression flips with the var."""
+    import importlib
+    import sys
+
+    mod_name = "tests.test_scan_frames"
+    old = os.environ.pop("C2M_HEAVY_TESTS", None)
+    try:
+        sys.modules.pop(mod_name, None)
+        m = importlib.import_module(mod_name)
+        assert m.HEAVY is False
+        os.environ["C2M_HEAVY_TESTS"] = "1"
+        sys.modules.pop(mod_name, None)
+        m = importlib.import_module(mod_name)
+        assert m.HEAVY is True
+    finally:
+        sys.modules.pop(mod_name, None)
+        if old is None:
+            os.environ.pop("C2M_HEAVY_TESTS", None)
+        else:
+            os.environ["C2M_HEAVY_TESTS"] = old
