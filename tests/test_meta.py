@@ -13,7 +13,7 @@ import ast
 import glob
 import os
 
-EXPECTED_GATED = 14  # update when adding/removing a heavy-gated test
+EXPECTED_GATED = 15  # update when adding/removing a heavy-gated test
 
 
 def _iter_test_sources():

@@ -177,3 +177,38 @@ def test_dryrun_multichip_full_width():
     from __graft_entry__ import dryrun_multichip
     assert len(jax.devices()) >= 8
     dryrun_multichip(8, full_width=True)
+
+
+@pytest.mark.skipif(not os.environ.get("C2M_HEAVY_TESTS"),
+                    reason="256x512-shape 8-device dryrun: ~17 min compile "
+                           "on the 1-core runner")
+def test_dryrun_multichip_256x512():
+    """Config-4 shapes over the virtual mesh (VERDICT r3 #3): the 256x512
+    remat train step compiles + executes SPMD. Width-shrunk / VGG zeroed
+    for 1-core feasibility (full width is covered at 64x128 by
+    test_dryrun_multichip_full_width; the full-width 256x512 memory fit is
+    measured on the real chip — tools/mem_train.py, STATUS round-4)."""
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _flagship_cfg
+    from c2m_tpu.config import shrink_model
+    from c2m_tpu.data.synthetic import make_batch
+    from c2m_tpu.parallel.mesh import make_mesh, shard_batch, shard_state
+    from c2m_tpu.train.model import C2MTrainModel
+    from c2m_tpu.train.state import create_train_state
+    from c2m_tpu.train.step import make_train_step
+
+    cfg = shrink_model(_flagship_cfg(h=256, w=512, batch=8, max_objects=4,
+                                     dtype="float32"))
+    cfg.train_params.remat = True          # the config-4 setting
+    cfg.train_params.loss_weights.perceptual = 0.0
+    model = C2MTrainModel(cfg)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg, seed=0).items()}
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
+    mesh = make_mesh(8)
+    with mesh:
+        state = shard_state(state, mesh)
+        batch = shard_batch(batch, mesh)
+        step = make_train_step(cfg, donate=False)
+        _, metrics = step(state, batch, jax.random.PRNGKey(1))
+        total = float(metrics["total_gen"])
+    assert np.isfinite(total), total
