@@ -131,6 +131,10 @@ class TrainParams:
     remat: bool = False            # rematerialize the big submodules in the
     # train step (jax.checkpoint); trades ~1 extra forward for the activation
     # memory — required for the 512x1024 long-horizon config on 16 GB chips
+    remat_policy: str = ""         # what rematted segments SAVE (nn/remat.py):
+    # "" = boundaries only (minimum memory); "convs" = keep conv/dot outputs
+    # and recompute only the elementwise glue — faster backward where HBM
+    # allows (the 256x512 operating point)
     scan_frames: int = 0           # >0: run the per-frame train tail
     # (generator + VGG + image-D + per-frame losses) as an nn.scan over
     # chunks of this many predicted frames instead of one time-folded batch.
@@ -361,6 +365,8 @@ class Config:
             raise ValueError(
                 f"scan_frames={tp.scan_frames} must be 0 or divide "
                 f"num_predicted_frames={tp.num_predicted_frames}")
+        from c2m_tpu.nn.remat import make_policy
+        make_policy(tp.remat_policy)  # raises on unknown values
         return self
 
     @classmethod

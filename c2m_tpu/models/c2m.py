@@ -67,9 +67,13 @@ class C2MGenerator(nn.Module):
             """Segment-wise rematerialization (train_params.remat): each big
             submodule recomputes its activations in the backward pass, so the
             512x1024 long-horizon train step fits 16 GB HBM. ``train`` must be
-            static (and hence positional) under jax.checkpoint."""
+            static (and hence positional) under jax.checkpoint.
+            train_params.remat_policy picks what the segments save
+            (nn/remat.py)."""
             if tp.remat:
-                return nn.remat(cls, static_argnums=(train_argnum,))
+                from c2m_tpu.nn.remat import make_policy
+                return nn.remat(cls, static_argnums=(train_argnum,),
+                                policy=make_policy(tp.remat_policy))
             return cls
 
         self.appearance_encoder = maybe_remat(AppearanceEncoder, 4)(

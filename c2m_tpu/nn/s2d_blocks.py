@@ -24,6 +24,7 @@ norm_nd_s2d; tests/test_s2d.py::test_norm_reshape_exact_stats).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Union
 
 import jax
@@ -49,8 +50,10 @@ def s2d_auto(h: int, w: int) -> bool:
 
 # fused upsample+conv (nn/s2d.fused_up_conv) crossover, measured in
 # tools/bench_upfuse.py: 3.3x at 512x1024 outputs, 1.56x at 256x512,
-# ~0.95x at 128x256 and below
-UPFUSE_MIN_PIXELS = 256 * 512
+# ~0.95x at 128x256 and below. Env override is the A/B measurement hook
+# (tools/bench_train.py --no-upfuse sets it huge to disable).
+UPFUSE_MIN_PIXELS = int(os.environ.get("C2M_UPFUSE_MIN_PIXELS",
+                                       str(256 * 512)))
 
 
 def upfuse_auto(h_up: int, w_up: int) -> bool:

@@ -44,7 +44,9 @@ class C2MTrainModel(nn.Module):
         from c2m_tpu.models.c2m import _dtype_of
         dtype = _dtype_of(cfg)
         # discriminators share C2MGenerator's remat policy (models/c2m.py)
-        disc_cls = (nn.remat(MultiScaleDiscriminator, static_argnums=(2,))
+        from c2m_tpu.nn.remat import make_policy
+        disc_cls = (nn.remat(MultiScaleDiscriminator, static_argnums=(2,),
+                             policy=make_policy(tp.remat_policy))
                     if tp.remat else MultiScaleDiscriminator)
         if tp.use_image_discriminator:
             self.netd_image = disc_cls(cfg.model_params.discriminator,
@@ -142,7 +144,10 @@ class C2MTrainModel(nn.Module):
                       if self.is_mutable_collection(c))
         bcast = ("params",) + tuple(c for c in ("batch_stats", "spectral")
                                     if c not in carry)
-        scan = nn.scan(nn.remat(body), variable_broadcast=bcast,
+        from c2m_tpu.nn.remat import make_policy
+        scan = nn.scan(nn.remat(body, policy=make_policy(
+                           self.cfg.train_params.remat_policy)),
+                       variable_broadcast=bcast,
                        variable_carry=carry,
                        split_rngs={"params": False, "sample": False},
                        in_axes=0, out_axes=0)

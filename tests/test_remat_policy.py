@@ -1,0 +1,124 @@
+"""train_params.remat_policy (nn/remat.py) is a pure memory/time trade:
+what a checkpointed segment SAVES must not change the math. Pins the
+"convs" policy's gradients to the default full-recompute remat on the
+real train model (width-shrunk), plus the knob's validation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from c2m_tpu.config import Config, shrink_model
+from c2m_tpu.data.synthetic import make_batch
+from c2m_tpu.nn.remat import make_policy
+from c2m_tpu.train.model import C2MTrainModel
+from c2m_tpu.train.state import create_train_state
+
+
+def _cfg(policy: str) -> Config:
+    cfg = Config()
+    cfg.dataset_params.dataset = "synthetic"
+    cfg.dataset_params.max_objects = 4
+    cfg.train_params.input_size = [64, 128]
+    cfg.train_params.num_predicted_frames = 4
+    cfg.train_params.batch_size = 1
+    cfg.train_params.dtype = "float32"
+    cfg.train_params.remat = True
+    cfg.train_params.remat_policy = policy
+    cfg.test_params.input_size = [64, 128]
+    cfg.test_params.num_predicted_frames = 4
+    return shrink_model(cfg.validate())
+
+
+def test_make_policy_contract():
+    assert make_policy("") is None
+    pol = make_policy("convs")
+    assert pol(jax.lax.dot_general_p)
+    assert pol(jax.lax.conv_general_dilated_p)
+    assert not pol(jax.lax.exp_p)
+    with pytest.raises(ValueError):
+        make_policy("nope")
+    with pytest.raises(ValueError):
+        make_policy("convs:big")
+
+
+def test_size_capped_policy():
+    # drive the policy through a REAL trace (the callback sees the actual
+    # eqn params, whatever this jax version's full param set is) by
+    # comparing which residuals two checkpointed functions save
+    pol_all = make_policy("convs")
+    pol_1mb = make_policy("convs:1")
+
+    def f(x, w_small, w_big):
+        y = x @ w_small            # (64, 64) out: 16 KB
+        z = y @ w_big              # (64, 65536) out: 16 MB
+        return jnp.sin(z).sum()
+
+    x = jnp.ones((64, 64))
+    ws = jnp.ones((64, 64))
+    wb = jnp.ones((64, 65536))
+
+    def saved_sizes(policy):
+        fn = jax.checkpoint(f, policy=policy)
+        jaxpr = jax.make_jaxpr(lambda *a: jax.grad(fn)(*a))(x, ws, wb)
+        return str(jaxpr)
+
+    # both jaxprs close over the same math; the capped policy must NOT
+    # mark the 16 MB dot saveable, so its remat body re-executes that dot
+    # (2 dots in the fwd + 1 recomputed) while "convs" recomputes none.
+    n_dots_all = saved_sizes(pol_all).count("dot_general")
+    n_dots_capped = saved_sizes(pol_1mb).count("dot_general")
+    assert n_dots_capped > n_dots_all, (n_dots_capped, n_dots_all)
+
+
+def test_config_validate_rejects_unknown_policy():
+    cfg = _cfg("")
+    cfg.train_params.remat_policy = "bogus"
+    with pytest.raises(ValueError):
+        cfg.validate()
+
+
+def test_convs_policy_gradients_match_full_remat():
+    cfg0, cfg1 = _cfg(""), _cfg("convs")
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg0, seed=0).items()}
+    key = jax.random.PRNGKey(0)
+    state = create_train_state(cfg0, C2MTrainModel(cfg0), key, batch)
+
+    from c2m_tpu.train.model import (total_discriminator_loss,
+                                     total_generator_loss)
+
+    def grads(cfg):
+        model = C2MTrainModel(cfg)
+
+        def loss_fn(params):
+            (_, loss_dict, ldi, ldv), _ = model.apply(
+                {"params": params, "batch_stats": state.batch_stats,
+                 "spectral": state.spectral},
+                batch, train=True,
+                rngs={"sample": jax.random.PRNGKey(2)},
+                mutable=["batch_stats", "spectral"])
+            return (total_generator_loss(cfg, loss_dict)
+                    + total_discriminator_loss(ldi)
+                    + total_discriminator_loss(ldv))
+
+        return jax.jit(jax.grad(loss_fn))(state.params)
+
+    g0, g1 = grads(cfg0), grads(cfg1)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    assert len(flat0) == len(flat1)
+    # the policy changes which values are saved vs recomputed, so XLA
+    # schedules/fuses the backward differently — fp32 reduction
+    # reassociation puts the two gradients apart by up to ~3e-2 ABSOLUTE
+    # on the deepest backward path (the first encoder conv, whose gradient
+    # elements reach |g|~150; measured cos 1.0, norm rel 5e-6, 31 of 30.4M
+    # elements beyond rtol 2e-2 + atol 2e-3). Same noise class as the
+    # sharding tests' criterion (tests/test_parallel.py): direction + norm
+    # + a loose elementwise envelope, not strict elementwise equality.
+    a = np.concatenate([np.asarray(x).ravel() for x in flat0])
+    b = np.concatenate([np.asarray(x).ravel() for x in flat1])
+    cos = float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.99999, cos
+    np.testing.assert_allclose(np.linalg.norm(b), np.linalg.norm(a),
+                               rtol=1e-3)
+    np.testing.assert_allclose(b, a, rtol=2e-2, atol=5e-2)

@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--tpred", type=int, default=10)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--skip-inference", action="store_true",
+                    help="train step only (inference is independent of "
+                         "--remat-policy; skip its recompile on A/Bs)")
     ap.add_argument("--scan-frames", type=int, default=2,
                     help="frame-chunked full-res tail (0 = folded; the "
                          "folded train step needs 26.7 GB vs 15.75 GB HBM)")
@@ -31,7 +34,15 @@ def main():
                     help="space-to-depth full-res tail (train_params."
                          "s2d_tail): exact, measured 2.4x on the 512x1024 "
                          "tail convs")
+    ap.add_argument("--effort", type=float, default=None,
+                    help="exec_time_optimization_effort compile option "
+                         "(verify codegen equivalence before trusting)")
+    ap.add_argument("--remat-policy", default="",
+                    help="'' (save boundaries only) or 'convs' (nn/remat.py);"
+                         " fit-check with tools/mem_train.py first")
     args = ap.parse_args()
+    copts = ({"exec_time_optimization_effort": args.effort}
+             if args.effort is not None else None)
 
     from c2m_tpu.utils.jax_setup import setup_jax
     setup_jax()
@@ -60,6 +71,7 @@ def main():
     # brings the donated step to 15.53 GB (tools/mem_train.py, round 3)
     cfg.train_params.scan_frames = args.scan_frames
     cfg.train_params.s2d_tail = args.s2d
+    cfg.train_params.remat_policy = args.remat_policy
     cfg.validate()
 
     print(f"building batch {args.batch}x{args.h}x{args.w} tpred={args.tpred}",
@@ -84,60 +96,54 @@ def main():
         return model.apply(v, bt, z, c, True, method="inference",
                            rngs={"sample": key})["generated"]
 
-    def make_fused(k):
-        @jax.jit
-        def fused(v, bt, c, seed):
-            acc = 0.0
-            for i in range(k):
-                s = jax.random.fold_in(seed, i)
-                z = jax.random.normal(s, (args.batch, 1024))
-                bt_i = dict(bt)
-                bt_i["video"] = bt["video"] + jax.random.uniform(
-                    s, (), dtype=bt["video"].dtype, maxval=1e-3)
-                bt_i["targets_theta"] = bt["targets_theta"].at[..., 2].add(
-                    jax.random.uniform(s, (), maxval=1e-4))
-                acc = acc + one(v, bt_i, z, c).mean()
-            return acc
-        return fused
+    # ONE compiled program, iteration count a runtime scalar (the round-4
+    # bench.py protocol, validated vs the unrolled pair at 128x256): a cold
+    # cache costs one inference-graph compile, the loop body is a single
+    # inference (kinder to HBM than the old unrolled K>=2 programs), and
+    # XLA cannot fuse across iterations by construction.
+    def fused(v, bt, c, seed, n):
+        def body(i, acc):
+            s = jax.random.fold_in(seed, i)
+            z = jax.random.normal(s, (args.batch, 1024))
+            bt_i = dict(bt)
+            bt_i["video"] = bt["video"] + jax.random.uniform(
+                s, (), dtype=bt["video"].dtype, maxval=1e-3)
+            bt_i["targets_theta"] = bt["targets_theta"].at[..., 2].add(
+                jax.random.uniform(s, (), maxval=1e-4))
+            return acc + one(v, bt_i, z, c).mean()
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    def timed(fn, seed):
+    t0 = time.time()
+    compiled = jax.jit(fused).lower(
+        variables, batch, click, key, jnp.int32(6)).compile(
+        compiler_options=copts)
+    print(f"inference compiled in {time.time() - t0:.0f}s", flush=True)
+
+    def timed(n, seed):
         t0 = time.perf_counter()
-        float(fn(variables, batch, click, jax.random.PRNGKey(seed)))
+        float(compiled(variables, batch, click, jax.random.PRNGKey(seed),
+                       jnp.int32(n)))
         return time.perf_counter() - t0
 
-    # Slope protocol (STATUS round-2 doctrine): difference two fused-loop
-    # lengths so RPC + transfer overhead cancels. Round 2 couldn't run K>=2
-    # at 512x1024 (the folded tail's 6.4x-padded tensors blew HBM); the
-    # scan_frames tail fits, so the honest number is finally measurable.
-    f1 = make_fused(1)
-    t0 = time.time()
-    float(f1(variables, batch, click, key))
-    print(f"inference compile+run {time.time() - t0:.0f}s", flush=True)
-    per1 = min(timed(f1, s) for s in (1, 2, 3))
+    timed(1, 0)  # warm
+    per1 = min(timed(1, s) for s in (1, 2, 3))
     print(f"INFERENCE single-dispatch (incl. ~0.2s RPC): {per1 * 1e3:.1f} ms"
           f" -> {args.batch * args.tpred / per1:.1f} f/s/chip", flush=True)
-    try:
-        k_small, k_big = 2, 6
-        fs, fb = make_fused(k_small), make_fused(k_big)
-        float(fs(variables, batch, click, key))
-        float(fb(variables, batch, click, key))
-        ts = min(timed(fs, 10 + s) for s in (0, 1, 2))
-        tb = min(timed(fb, 20 + s) for s in (0, 1, 2))
-        per = (tb - ts) / (k_big - k_small)
-        print(f"INFERENCE slope (K={k_small} vs {k_big}): {per * 1e3:.1f} ms"
-              f" / clip -> {args.batch * args.tpred / per:.1f} f/s/chip",
-              flush=True)
-        del fs, fb
-    except Exception as e:  # fused loop may still exceed HBM
-        print(f"slope protocol unavailable: {type(e).__name__} {e}",
-              flush=True)
+    k_small, k_big = 2, 6
+    timed(k_big, 0)
+    ts = min(timed(k_small, 10 + s) for s in (0, 1, 2))
+    tb = min(timed(k_big, 20 + s) for s in (0, 1, 2))
+    per = (tb - ts) / (k_big - k_small)
+    print(f"INFERENCE slope (n={k_small} vs {k_big}): {per * 1e3:.1f} ms"
+          f" / clip -> {args.batch * args.tpred / per:.1f} f/s/chip",
+          flush=True)
 
     if args.skip_train:
         return
-    # free the inference model + compiled loops BEFORE the train step: the
+    # free the inference model + compiled loop BEFORE the train step: the
     # donated step peaks at 15.53 of 15.75 GB (tools/mem_train.py) — an
     # extra resident set of inference params/executables OOMs the chip
-    del variables, f1
+    del variables, compiled
     import gc
     gc.collect()
     jax.clear_caches()

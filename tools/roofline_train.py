@@ -33,6 +33,13 @@ def main():
                          "VGG19 tower) to attribute its step-time share")
     ap.add_argument("--no-disc", action="store_true",
                     help="ablation: disable both discriminators")
+    ap.add_argument("--size", type=int, nargs=2, default=[128, 256],
+                    metavar=("H", "W"))
+    ap.add_argument("--remat", action="store_true",
+                    help="segment remat (required for the 256x512 point)")
+    ap.add_argument("--aot-only", action="store_true",
+                    help="print the cost-model floors from the AOT compile "
+                         "and skip the measured slope")
     args = ap.parse_args()
 
     from c2m_tpu.utils.jax_setup import setup_jax
@@ -47,8 +54,9 @@ def main():
 
     print(f"device: {jax.devices()[0]}", flush=True)
     for bsz in args.batches:
-        cfg = _flagship_cfg(h=128, w=256, batch=bsz, max_objects=8,
-                            dtype="bfloat16")
+        cfg = _flagship_cfg(h=args.size[0], w=args.size[1], batch=bsz,
+                            max_objects=8, dtype="bfloat16")
+        cfg.train_params.remat = args.remat
         if args.no_vgg:
             cfg.train_params.loss_weights.perceptual = 0.0
             cfg.train_params.loss_weights.style = 0.0
@@ -81,6 +89,8 @@ def main():
             print(f"  temps {mem.temp_size_in_bytes / 1e9:.2f} GB, "
                   f"args {mem.argument_size_in_bytes / 1e9:.2f} GB",
                   flush=True)
+        if args.aot_only:
+            continue
 
         def make_fused(k):
             @jax.jit
