@@ -134,7 +134,10 @@ class TrainParams:
     remat_policy: str = ""         # what rematted segments SAVE (nn/remat.py):
     # "" = boundaries only (minimum memory); "convs" = keep conv/dot outputs
     # and recompute only the elementwise glue — faster backward where HBM
-    # allows (the 256x512 operating point)
+    # allows (the 256x512 operating point); "convs:<MB>" caps saved outputs
+    remat_segments: str = "all"    # which segments remat wraps (nn/remat.py
+    # SEGMENTS): "all", or a comma list (e.g. "dense_bw,generator,discs") to
+    # confine recompute to the memory-dominant segments
     scan_frames: int = 0           # >0: run the per-frame train tail
     # (generator + VGG + image-D + per-frame losses) as an nn.scan over
     # chunks of this many predicted frames instead of one time-folded batch.
@@ -365,8 +368,9 @@ class Config:
             raise ValueError(
                 f"scan_frames={tp.scan_frames} must be 0 or divide "
                 f"num_predicted_frames={tp.num_predicted_frames}")
-        from c2m_tpu.nn.remat import make_policy
-        make_policy(tp.remat_policy)  # raises on unknown values
+        from c2m_tpu.nn.remat import make_policy, parse_segments
+        make_policy(tp.remat_policy)     # raises on unknown values
+        parse_segments(tp.remat_segments)
         return self
 
     @classmethod

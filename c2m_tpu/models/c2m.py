@@ -63,20 +63,22 @@ class C2MGenerator(nn.Module):
         dtype = _dtype_of(cfg)
         me = mp.motion_estimator
 
-        def maybe_remat(cls, train_argnum):
+        def maybe_remat(cls, train_argnum, segment):
             """Segment-wise rematerialization (train_params.remat): each big
             submodule recomputes its activations in the backward pass, so the
             512x1024 long-horizon train step fits 16 GB HBM. ``train`` must be
             static (and hence positional) under jax.checkpoint.
-            train_params.remat_policy picks what the segments save
+            train_params.remat_policy picks what the segments save and
+            train_params.remat_segments which segments are wrapped at all
             (nn/remat.py)."""
-            if tp.remat:
-                from c2m_tpu.nn.remat import make_policy
+            from c2m_tpu.nn.remat import make_policy, parse_segments
+            if tp.remat and segment in parse_segments(tp.remat_segments):
                 return nn.remat(cls, static_argnums=(train_argnum,),
                                 policy=make_policy(tp.remat_policy))
             return cls
 
-        self.appearance_encoder = maybe_remat(AppearanceEncoder, 4)(
+        self.appearance_encoder = maybe_remat(
+            AppearanceEncoder, 4, "appearance")(
             mp.appearance_encoder, tp, dtype=dtype)
         scene_features = mp.appearance_encoder.block_expansion * (
             2 ** mp.appearance_encoder.pooling_after)
@@ -84,21 +86,25 @@ class C2MGenerator(nn.Module):
             me.sparse_motion_estimator, tp.num_predicted_frames,
             tp.num_input_frames, scene_features=scene_features)
         self.sparse_feature_encoder = maybe_remat(
-            SparseMotionFeatureEncoder, 2)(me.sparse_motion_encoder,
-                                           dtype=dtype)
-        self.motion_encoder_bg = maybe_remat(DenseMotionEncoder, 2)(
+            SparseMotionFeatureEncoder, 2, "sparse_feature")(
+            me.sparse_motion_encoder, dtype=dtype)
+        self.motion_encoder_bg = maybe_remat(
+            DenseMotionEncoder, 2, "motion_bg")(
             me.dense_motion_encoder, me.dense_motion_encoder.out_channel_bg,
             dtype=dtype)
-        self.motion_encoder_fg = maybe_remat(DenseMotionEncoder, 2)(
+        self.motion_encoder_fg = maybe_remat(
+            DenseMotionEncoder, 2, "motion_fg")(
             me.dense_motion_encoder, me.dense_motion_encoder.out_channel_fg,
             dtype=dtype)
-        self.dense_generator_bw = maybe_remat(DenseMotionDecoder, 6)(
+        self.dense_generator_bw = maybe_remat(DenseMotionDecoder, 6,
+                                              "dense_bw")(
             me.dense_motion_decoder, tp.num_input_frames,
             tp.num_predicted_frames,
             sparse_down=me.sparse_motion_encoder.num_down_blocks, dtype=dtype,
             scan_frames=tp.scan_frames, s2d_tail=tp.s2d_tail)
         if tp.use_fw_of:
-            self.dense_generator_fw = maybe_remat(DenseMotionDecoder, 6)(
+            self.dense_generator_fw = maybe_remat(DenseMotionDecoder, 6,
+                                                  "dense_fw")(
                 me.dense_motion_decoder, tp.num_input_frames,
                 tp.num_predicted_frames,
                 sparse_down=me.sparse_motion_encoder.num_down_blocks, dtype=dtype,
@@ -112,7 +118,7 @@ class C2MGenerator(nn.Module):
         self.zconv = SameBlockTwoConv2d(16 * tp.num_predicted_frames, 3, 1, 1,
                                         padding_mode="reflect", dtype=dtype,
                                         name="zconv")
-        self.generator = maybe_remat(OcclusionAwareGenerator, 4)(
+        self.generator = maybe_remat(OcclusionAwareGenerator, 4, "generator")(
             mp.generator, mp.flow_embedder,
             dataset=self.dataset or cfg.dataset_params.dataset, dtype=dtype,
             s2d_tail=tp.s2d_tail)

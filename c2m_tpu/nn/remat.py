@@ -28,9 +28,33 @@ fit a 16 GB chip (train_params.remat, models/c2m.py maybe_remat).
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, FrozenSet, Optional
 
 _SAVEABLE = ("conv_general_dilated", "dot_general")
+
+# the train step's checkpointable segments (models/c2m.py setup +
+# train/model.py discriminators). The scan-frames tail body is NOT listed:
+# its remat is load-bearing for the memory win and stays unconditional.
+SEGMENTS = ("appearance", "sparse_feature", "motion_bg", "motion_fg",
+            "dense_bw", "dense_fw", "generator", "discs")
+
+
+def parse_segments(spec: str) -> FrozenSet[str]:
+    """``train_params.remat_segments``: "all" or a comma list of SEGMENTS.
+
+    Segments NOT listed are never wrapped in nn.remat — their activations
+    are saved like the reference's torch autograd would (the memory cost
+    returns). Use to confine recompute to the memory-dominant segments at
+    operating points with HBM headroom.
+    """
+    if spec.strip() == "all":
+        return frozenset(SEGMENTS)
+    names = frozenset(s.strip() for s in spec.split(",") if s.strip())
+    unknown = names - frozenset(SEGMENTS)
+    if unknown:
+        raise ValueError(f"unknown remat_segments {sorted(unknown)} "
+                         f"(expected 'all' or a comma list of {SEGMENTS})")
+    return names
 
 
 def _out_bytes(prim, *args, **params) -> int:

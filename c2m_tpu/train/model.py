@@ -43,11 +43,14 @@ class C2MTrainModel(nn.Module):
         # and the loss reductions accumulate fp32 (losses.py)
         from c2m_tpu.models.c2m import _dtype_of
         dtype = _dtype_of(cfg)
-        # discriminators share C2MGenerator's remat policy (models/c2m.py)
-        from c2m_tpu.nn.remat import make_policy
+        # discriminators share C2MGenerator's remat policy/segments
+        # (models/c2m.py): segment name "discs"
+        from c2m_tpu.nn.remat import make_policy, parse_segments
         disc_cls = (nn.remat(MultiScaleDiscriminator, static_argnums=(2,),
                              policy=make_policy(tp.remat_policy))
-                    if tp.remat else MultiScaleDiscriminator)
+                    if tp.remat and "discs" in parse_segments(
+                        tp.remat_segments)
+                    else MultiScaleDiscriminator)
         if tp.use_image_discriminator:
             self.netd_image = disc_cls(cfg.model_params.discriminator,
                                        dtype=dtype)

@@ -78,6 +78,47 @@ def test_config_validate_rejects_unknown_policy():
         cfg.validate()
 
 
+def test_parse_segments_contract():
+    from c2m_tpu.nn.remat import SEGMENTS, parse_segments
+    assert parse_segments("all") == frozenset(SEGMENTS)
+    assert parse_segments("dense_bw, generator") == {"dense_bw", "generator"}
+    with pytest.raises(ValueError):
+        parse_segments("dense_bw,nope")
+    cfg = _cfg("")
+    cfg.train_params.remat_segments = "nope"
+    with pytest.raises(ValueError):
+        cfg.validate()
+
+
+def test_segment_subset_trains_and_matches_forward():
+    """remat_segments only changes WHAT is wrapped in checkpoint — the
+    forward values must be identical to remat_segments='all' (remat never
+    changes the primal math; it is pure autodiff bookkeeping)."""
+    cfg_all, cfg_sub = _cfg(""), _cfg("")
+    cfg_sub.train_params.remat_segments = "dense_bw,generator,discs"
+    cfg_sub.validate()
+    batch = {k: jnp.asarray(v)
+             for k, v in make_batch(cfg_all, seed=0).items()}
+    key = jax.random.PRNGKey(0)
+    state = create_train_state(cfg_all, C2MTrainModel(cfg_all), key, batch)
+
+    def fwd(cfg):
+        model = C2MTrainModel(cfg)
+        (_, loss_dict, ldi, ldv), _ = jax.jit(
+            lambda p: model.apply(
+                {"params": p, "batch_stats": state.batch_stats,
+                 "spectral": state.spectral},
+                batch, train=True, rngs={"sample": jax.random.PRNGKey(2)},
+                mutable=["batch_stats", "spectral"]))(state.params)
+        return {**loss_dict, **ldi, **ldv}
+
+    l0, l1 = fwd(cfg_all), fwd(cfg_sub)
+    assert set(l0) == set(l1)
+    for k in l0:
+        np.testing.assert_allclose(np.asarray(l1[k]), np.asarray(l0[k]),
+                                   rtol=2e-5, atol=1e-6, err_msg=k)
+
+
 def test_convs_policy_gradients_match_full_remat():
     cfg0, cfg1 = _cfg(""), _cfg("convs")
     batch = {k: jnp.asarray(v) for k, v in make_batch(cfg0, seed=0).items()}

@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--remat-policy", default="",
                     help="'' (save boundaries only) or 'convs' (nn/remat.py)")
+    ap.add_argument("--remat-segments", default="all",
+                    help="'all' or comma list of nn/remat.SEGMENTS")
     ap.add_argument("--scan-frames", type=int, default=0)
     ap.add_argument("--s2d", action="store_true")
     ap.add_argument("--no-upfuse", action="store_true",
@@ -72,6 +74,7 @@ def main():
                             max_objects=8, dtype="bfloat16")
         cfg.train_params.remat = args.remat
         cfg.train_params.remat_policy = args.remat_policy
+        cfg.train_params.remat_segments = args.remat_segments
         cfg.train_params.scan_frames = args.scan_frames
         cfg.train_params.s2d_tail = args.s2d
         model = C2MTrainModel(cfg)

@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--remat-policy", default="",
                     help="'' (save boundaries only) or 'convs' (nn/remat.py)")
+    ap.add_argument("--remat-segments", default="all",
+                    help="'all' or comma list of nn/remat.SEGMENTS")
     ap.add_argument("--inference", action="store_true")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--s2d", action="store_true",
@@ -55,6 +57,7 @@ def main():
     cfg.train_params.dtype = "bfloat16"
     cfg.train_params.remat = not args.no_remat
     cfg.train_params.remat_policy = args.remat_policy
+    cfg.train_params.remat_segments = args.remat_segments
     cfg.train_params.scan_frames = args.scan_frames
     cfg.train_params.s2d_tail = args.s2d
     cfg.test_params.input_size = [args.h, args.w]
