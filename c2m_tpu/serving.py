@@ -201,13 +201,18 @@ class ServingModel:
             raise ValueError(
                 f"artifact format {self.meta['format_version']} != "
                 f"{_FORMAT_VERSION}")
-        self.variables = _load_variables(
-            os.path.join(artifact_dir, "variables.npz"))
+        # Weights go on device ONCE at load: passing host arrays to each
+        # call re-uploads the whole artifact per request (measured +13.7 s
+        # over the tunnel for 314 MB, tools/bench_serving.py round 4).
+        self.variables = jax.device_put(_load_variables(
+            os.path.join(artifact_dir, "variables.npz")))
         self._fns = {}
         for bs in self.meta["batch_sizes"]:
             path = os.path.join(artifact_dir, f"inference_b{bs}.stablehlo")
             with open(path, "rb") as f:
-                self._fns[bs] = jexport.deserialize(f.read())
+                # jit the deserialized call so the executable is built once
+                # and reused; bare Exported.call re-traces per invocation
+                self._fns[bs] = jax.jit(jexport.deserialize(f.read()).call)
 
     def bucket_for(self, batch_size: int) -> int:
         for bs in self.meta["batch_sizes"]:
@@ -227,10 +232,16 @@ class ServingModel:
             return np.pad(arr, widths)
         return {k: pad(v) for k, v in tree.items()}
 
-    def __call__(self, batch: Dict[str, np.ndarray], z_m, click, rng
+    def __call__(self, batch: Dict[str, np.ndarray], z_m, click, rng,
+                 outputs: Optional[Sequence[str]] = None
                  ) -> Dict[str, np.ndarray]:
         """Run sampled inference; requests smaller than the chosen bucket are
-        zero-padded in and sliced out."""
+        zero-padded in and sliced out.
+
+        ``outputs``: optional key filter — only the requested output tensors
+        are fetched to host (a full fetch of the auxiliary flow/occlusion
+        maps costs several times the generated frames; measured in
+        tools/bench_serving.py). None = fetch everything."""
         bs = int(np.shape(next(iter(batch.values())))[0])
         bucket = self.bucket_for(bs)
         batch = self._pad_to({k: v for k, v in batch.items() if k != "names"},
@@ -240,6 +251,12 @@ class ServingModel:
         if bucket != bs:
             z_m = np.pad(z_m, [(0, bucket - bs), (0, 0)])
             click = np.pad(click, [(0, bucket - bs), (0, 0)])
-        out = self._fns[bucket].call(self.variables, batch, z_m, click,
-                                     np.asarray(rng, np.uint32))
+        out = self._fns[bucket](self.variables, batch, z_m, click,
+                                np.asarray(rng, np.uint32))
+        if outputs is not None:
+            missing = set(outputs) - set(out)
+            if missing:
+                raise KeyError(f"unknown outputs {sorted(missing)} "
+                               f"(available: {sorted(out)})")
+            out = {k: out[k] for k in outputs}
         return {k: np.asarray(v)[:bs] for k, v in out.items()}

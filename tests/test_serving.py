@@ -66,6 +66,15 @@ def test_bucket_padding(setup):
     assert out["generated"].shape[0] == 1
     assert np.isfinite(np.asarray(out["generated"], np.float32)).all()
 
+    # output filter: only the requested keys are fetched/returned
+    sel = served(one, z, click, jax.random.PRNGKey(0),
+                 outputs=("generated",))
+    assert set(sel) == {"generated"}
+    np.testing.assert_array_equal(np.asarray(sel["generated"], np.float32),
+                                  np.asarray(out["generated"], np.float32))
+    with pytest.raises(KeyError):
+        served(one, z, click, jax.random.PRNGKey(0), outputs=("nope",))
+
 
 def test_variables_roundtrip(tmp_path):
     tree = {"params": {"a": {"w": np.ones((2, 3), np.float32)},

@@ -82,29 +82,33 @@ def main():
     t_first = time.perf_counter() - t0
     print(f"serving first call (compile): {t_first:.1f}s", flush=True)
 
-    def timed_serving(seed):
+    def timed_serving(seed, outputs):
         b, z, c, r = request(seed)
         t0 = time.perf_counter()
-        out = served(b, z, c, r)
+        out = served(b, z, c, r, outputs=outputs)
         m = float(np.asarray(out["generated"]).mean())
         return time.perf_counter() - t0, m
 
-    ts = [timed_serving(10 + i)[0] for i in range(args.requests)]
+    ts = [timed_serving(10 + i, ("generated",))[0]
+          for i in range(args.requests)]
     serve_ms = 1e3 * min(ts)
-    print(f"serving steady: min {serve_ms:.1f} ms/request "
+    print(f"serving steady (generated only): min {serve_ms:.1f} ms/request "
           f"(median {1e3 * sorted(ts)[len(ts) // 2]:.1f})", flush=True)
+    tf = [timed_serving(30 + i, None)[0] for i in range(args.requests)]
+    print(f"serving steady (all outputs):    min {1e3 * min(tf):.1f} "
+          f"ms/request", flush=True)
 
-    # jit path, identical requests/protocol
+    # jit path, identical requests/protocol: numpy in -> numpy out, the
+    # host->device batch upload INSIDE the timer exactly like ServingModel
     infer = serving._infer_fn(cfg)
     jit_infer = jax.jit(infer)
     dev_vars = jax.device_put(variables)
 
     def timed_jit(seed):
         b, z, c, r = request(seed)
-        b = {k: jnp.asarray(v) for k, v in b.items()}
         t0 = time.perf_counter()
-        out = jit_infer(dev_vars, b, jnp.asarray(z), jnp.asarray(c),
-                        jnp.asarray(r))
+        out = jit_infer(dev_vars, {k: jnp.asarray(v) for k, v in b.items()},
+                        jnp.asarray(z), jnp.asarray(c), jnp.asarray(r))
         m = float(np.asarray(out["generated"]).mean())
         return time.perf_counter() - t0, m
 
@@ -114,6 +118,23 @@ def main():
     print(f"jit steady:     min {jit_ms:.1f} ms/request "
           f"(median {1e3 * sorted(tj)[len(tj) // 2]:.1f})", flush=True)
     print(f"serving overhead vs jit: {serve_ms - jit_ms:+.1f} ms/request",
+          flush=True)
+
+    # upload-isolated: device-resident inputs, value fetch — what the chip
+    # does per request once the batch is staged (the tunnel's upload cost is
+    # deployment-irrelevant; an on-host server overlaps it with compute)
+    b, z, c, r = request(99)
+    dev_args = ({k: jnp.asarray(v) for k, v in b.items()}, jnp.asarray(z),
+                jnp.asarray(c), jnp.asarray(r))
+    jax.block_until_ready(dev_args)
+    ts_dev = []
+    for i in range(args.requests):
+        t0 = time.perf_counter()
+        out = jit_infer(dev_vars, *dev_args)
+        _ = float(np.asarray(out["generated"]).mean())
+        ts_dev.append(time.perf_counter() - t0)
+    print(f"jit device-staged: min {1e3 * min(ts_dev):.1f} ms/request "
+          f"(upload share of e2e = {jit_ms - 1e3 * min(ts_dev):.1f} ms)",
           flush=True)
 
 
