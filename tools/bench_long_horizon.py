@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--effort", type=float, default=None,
                     help="exec_time_optimization_effort compile option "
                          "(verify codegen equivalence before trusting)")
+    ap.add_argument("--remat-segments", default="all",
+                    help="'all' or comma list of nn/remat.SEGMENTS")
     ap.add_argument("--remat-policy", default="",
                     help="'' (save boundaries only) or 'convs' (nn/remat.py);"
                          " fit-check with tools/mem_train.py first")
@@ -72,6 +74,7 @@ def main():
     cfg.train_params.scan_frames = args.scan_frames
     cfg.train_params.s2d_tail = args.s2d
     cfg.train_params.remat_policy = args.remat_policy
+    cfg.train_params.remat_segments = args.remat_segments
     cfg.validate()
 
     print(f"building batch {args.batch}x{args.h}x{args.w} tpred={args.tpred}",
