@@ -64,8 +64,10 @@ def confusion_matrix(pred, gt):
     """[N_IDS, N_IDS] pixel counts, gt id on rows / predicted id on columns.
 
     Every gt pixel counts (ignored classes keep their rows — the IoU rules
-    below decide what enters each score). Unknown gt ids are an error, like
-    upstream; unknown *predicted* ids only ever add false positives.
+    below decide what enters each score). Unknown ids on EITHER side are an
+    error — deliberately stricter than upstream, which validates only gt
+    ids (evalPixelLevelSemanticLabeling.py:300-303): an out-of-table
+    predicted id is always a prediction-pipeline bug worth failing on.
     """
     pred = np.asarray(pred).ravel()
     gt = np.asarray(gt).ravel()
@@ -107,7 +109,11 @@ def category_iou(conf):
     for cat in CATEGORIES:
         ids = [i for i in EVAL_IDS if ID2LABEL[i].category == cat]
         if not ids:
-            continue  # pure-void categories are not scored
+            # pure-void categories (e.g. 'void') carry no scorable class;
+            # upstream reports them as NaN entries — keep key-level parity
+            # with its result JSON (means skip NaN either way).
+            out[cat] = float("nan")
+            continue
         tp = int(conf[np.ix_(ids, ids)].sum())
         fn = int(conf[ids, :].sum()) - tp
         other = [i for i in EVAL_IDS if ID2LABEL[i].category != cat]

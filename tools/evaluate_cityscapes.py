@@ -120,7 +120,15 @@ def run_instance(args):
                 rel, label_id, conf = ln.split()
             except ValueError:
                 raise SystemExit(f"bad prediction line in {txt}: {ln!r}")
-            mask = np.array(Image.open(txt.parent / rel).convert("L"))
+            # Mask paths come from the txt: resolve relative to it but
+            # refuse anything escaping the prediction root (absolute paths
+            # or ..), matching upstream readPredInfo's containment check.
+            mask_path = (txt.parent / rel).resolve()
+            if not mask_path.is_relative_to(pred_dir.resolve()):
+                raise SystemExit(
+                    f"prediction mask path {rel!r} in {txt} resolves "
+                    f"outside the prediction dir {pred_dir}")
+            mask = np.array(Image.open(mask_path).convert("L"))
             image_preds.append({"mask": mask != 0,
                                 "label_id": int(label_id),
                                 "confidence": float(conf)})
