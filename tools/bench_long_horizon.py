@@ -82,71 +82,73 @@ def main():
     batch = {k: jnp.asarray(v) for k, v in make_batch(cfg, seed=0).items()}
     key = jax.random.PRNGKey(0)
 
-    # ---- inference -------------------------------------------------------
-    model = C2MGenerator(cfg)
-    t0 = time.time()
-    # jit the init: op-by-op init at 512x1024 holds every intermediate
-    # alive and OOMs the 16 GB chip; under jit XLA plans the memory
-    variables = jax.jit(lambda k: model.init(
-        {"params": k, "sample": k}, batch, train=False))(key)
-    print(f"init done in {time.time() - t0:.0f}s", flush=True)
-    click = jax.nn.one_hot(jnp.zeros((args.batch,), jnp.int32),
-                           cfg.dataset_params.max_objects)
+    if not args.skip_inference:
+        # ---- inference -------------------------------------------------------
+        model = C2MGenerator(cfg)
+        t0 = time.time()
+        # jit the init: op-by-op init at 512x1024 holds every intermediate
+        # alive and OOMs the 16 GB chip; under jit XLA plans the memory
+        variables = jax.jit(lambda k: model.init(
+            {"params": k, "sample": k}, batch, train=False))(key)
+        print(f"init done in {time.time() - t0:.0f}s", flush=True)
+        click = jax.nn.one_hot(jnp.zeros((args.batch,), jnp.int32),
+                               cfg.dataset_params.max_objects)
 
-    def one(v, bt, z, c):
-        # use_gt_eval=True: the reference's test-time raster setting
-        # (c2m_journal_cityscapes.yaml:170) -> separable MXU raster
-        return model.apply(v, bt, z, c, True, method="inference",
-                           rngs={"sample": key})["generated"]
+        def one(v, bt, z, c):
+            # use_gt_eval=True: the reference's test-time raster setting
+            # (c2m_journal_cityscapes.yaml:170) -> separable MXU raster
+            return model.apply(v, bt, z, c, True, method="inference",
+                               rngs={"sample": key})["generated"]
 
-    # ONE compiled program, iteration count a runtime scalar (the round-4
-    # bench.py protocol, validated vs the unrolled pair at 128x256): a cold
-    # cache costs one inference-graph compile, the loop body is a single
-    # inference (kinder to HBM than the old unrolled K>=2 programs), and
-    # XLA cannot fuse across iterations by construction.
-    def fused(v, bt, c, seed, n):
-        def body(i, acc):
-            s = jax.random.fold_in(seed, i)
-            z = jax.random.normal(s, (args.batch, 1024))
-            bt_i = dict(bt)
-            bt_i["video"] = bt["video"] + jax.random.uniform(
-                s, (), dtype=bt["video"].dtype, maxval=1e-3)
-            bt_i["targets_theta"] = bt["targets_theta"].at[..., 2].add(
-                jax.random.uniform(s, (), maxval=1e-4))
-            return acc + one(v, bt_i, z, c).mean()
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        # ONE compiled program, iteration count a runtime scalar (the round-4
+        # bench.py protocol, validated vs the unrolled pair at 128x256): a cold
+        # cache costs one inference-graph compile, the loop body is a single
+        # inference (kinder to HBM than the old unrolled K>=2 programs), and
+        # XLA cannot fuse across iterations by construction.
+        def fused(v, bt, c, seed, n):
+            def body(i, acc):
+                s = jax.random.fold_in(seed, i)
+                z = jax.random.normal(s, (args.batch, 1024))
+                bt_i = dict(bt)
+                bt_i["video"] = bt["video"] + jax.random.uniform(
+                    s, (), dtype=bt["video"].dtype, maxval=1e-3)
+                bt_i["targets_theta"] = bt["targets_theta"].at[..., 2].add(
+                    jax.random.uniform(s, (), maxval=1e-4))
+                return acc + one(v, bt_i, z, c).mean()
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    t0 = time.time()
-    compiled = jax.jit(fused).lower(
-        variables, batch, click, key, jnp.int32(6)).compile(
-        compiler_options=copts)
-    print(f"inference compiled in {time.time() - t0:.0f}s", flush=True)
+        t0 = time.time()
+        compiled = jax.jit(fused).lower(
+            variables, batch, click, key, jnp.int32(6)).compile(
+            compiler_options=copts)
+        print(f"inference compiled in {time.time() - t0:.0f}s", flush=True)
 
-    def timed(n, seed):
-        t0 = time.perf_counter()
-        float(compiled(variables, batch, click, jax.random.PRNGKey(seed),
-                       jnp.int32(n)))
-        return time.perf_counter() - t0
+        def timed(n, seed):
+            t0 = time.perf_counter()
+            float(compiled(variables, batch, click, jax.random.PRNGKey(seed),
+                           jnp.int32(n)))
+            return time.perf_counter() - t0
 
-    timed(1, 0)  # warm
-    per1 = min(timed(1, s) for s in (1, 2, 3))
-    print(f"INFERENCE single-dispatch (incl. ~0.2s RPC): {per1 * 1e3:.1f} ms"
-          f" -> {args.batch * args.tpred / per1:.1f} f/s/chip", flush=True)
-    k_small, k_big = 2, 6
-    timed(k_big, 0)
-    ts = min(timed(k_small, 10 + s) for s in (0, 1, 2))
-    tb = min(timed(k_big, 20 + s) for s in (0, 1, 2))
-    per = (tb - ts) / (k_big - k_small)
-    print(f"INFERENCE slope (n={k_small} vs {k_big}): {per * 1e3:.1f} ms"
-          f" / clip -> {args.batch * args.tpred / per:.1f} f/s/chip",
-          flush=True)
+        timed(1, 0)  # warm
+        per1 = min(timed(1, s) for s in (1, 2, 3))
+        print(f"INFERENCE single-dispatch (incl. ~0.2s RPC): {per1 * 1e3:.1f} ms"
+              f" -> {args.batch * args.tpred / per1:.1f} f/s/chip", flush=True)
+        k_small, k_big = 2, 6
+        timed(k_big, 0)
+        ts = min(timed(k_small, 10 + s) for s in (0, 1, 2))
+        tb = min(timed(k_big, 20 + s) for s in (0, 1, 2))
+        per = (tb - ts) / (k_big - k_small)
+        print(f"INFERENCE slope (n={k_small} vs {k_big}): {per * 1e3:.1f} ms"
+              f" / clip -> {args.batch * args.tpred / per:.1f} f/s/chip",
+              flush=True)
 
     if args.skip_train:
         return
     # free the inference model + compiled loop BEFORE the train step: the
     # donated step peaks at 15.53 of 15.75 GB (tools/mem_train.py) — an
     # extra resident set of inference params/executables OOMs the chip
-    del variables, compiled
+    if not args.skip_inference:
+        del variables, compiled
     import gc
     gc.collect()
     jax.clear_caches()
