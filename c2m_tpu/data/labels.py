@@ -69,3 +69,34 @@ def id_to_trainid(arr):
     for lid, tid in ID_TO_TRAINID.items():
         lut[lid] = tid
     return lut[arr]
+
+
+# ---- KITTI-360 extension (src/kitti2cityscapes_semantic.py:66-116) --------
+# Ids 0..33 carry the standard cityscapes trainIds above; KITTI-360 adds
+# ids 34..44 with the reference's C2M assignments: garage->building(2),
+# gate->fence(4), smallpole->pole(5), everything else ignored. The thing
+# split for instance renumbering is the hardcoded trainId list 11..18
+# (:121), not the table's hasInstances column.
+KITTI360_EXTRA_ID_TO_TRAINID = {
+    34: 2,    # garage -> building
+    35: 4,    # gate -> fence
+    36: 255,  # stop
+    37: 5,    # smallpole -> pole
+    38: 255,  # lamp
+    39: 255,  # trash bin
+    40: 255,  # vending machine
+    41: 255,  # box
+    42: 255,  # unknown construction
+    43: 255,  # unknown vehicle
+    44: 255,  # unknown object
+}
+KITTI360_ID_TO_TRAINID = {**ID_TO_TRAINID, **KITTI360_EXTRA_ID_TO_TRAINID}
+
+
+def kitti360_id_to_trainid(arr):
+    """Vectorized KITTI-360 label-id -> cityscapes trainId (255 = ignore)."""
+    import numpy as np
+    lut = np.full(256, 255, np.uint8)
+    for lid, tid in KITTI360_ID_TO_TRAINID.items():
+        lut[lid] = tid
+    return lut[arr]
